@@ -18,6 +18,12 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU plugin; env vars alone do
+# not win. The config update does.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

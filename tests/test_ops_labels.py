@@ -1,0 +1,71 @@
+"""Label primitives vs scipy ground truth."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from aliby_tpu.ops import labels as L
+
+
+def _random_blobs(seed, size=96, n=8):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((size, size), bool)
+    for _ in range(n):
+        cy, cx = rng.integers(8, size - 8, 2)
+        r = rng.integers(3, 7)
+        yy, xx = np.mgrid[0:size, 0:size]
+        img |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r**2
+    return img
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("connectivity", [1, 2])
+def test_connected_components_matches_scipy(seed, connectivity):
+    mask = _random_blobs(seed)
+    structure = ndi.generate_binary_structure(2, connectivity)
+    ref, n_ref = ndi.label(mask, structure=structure)
+    ours = np.asarray(L.connected_components(mask, connectivity=connectivity))
+    # Same partition: bijection between label sets
+    assert (ours > 0).sum() == (ref > 0).sum()
+    pairs = set(zip(ref[mask].tolist(), ours[mask].tolist()))
+    assert len(pairs) == n_ref  # one-to-one
+    assert len({a for a, _ in pairs}) == n_ref
+    assert len({b for _, b in pairs}) == n_ref
+
+
+def test_relabel_sequential():
+    lbl = np.array([[0, 5, 5], [9, 0, 2], [9, 2, 0]], np.int32)
+    new, forward = L.relabel_sequential(lbl, max_labels=8)
+    new = np.asarray(new)
+    assert sorted(np.unique(new).tolist()) == [0, 1, 2, 3]
+    # ascending original order: 2->1, 5->2, 9->3
+    assert new[1, 2] == 1 and new[0, 1] == 2 and new[1, 0] == 3
+    fw = np.asarray(forward)
+    assert fw[1] == 2 and fw[2] == 5 and fw[3] == 9
+
+
+def test_segment_sum_and_onehot():
+    lbl = np.array([[1, 1, 0], [2, 2, 2], [0, 0, 3]], np.int32)
+    vals = np.arange(9, dtype=np.float32).reshape(3, 3)
+    sums = np.asarray(L.segment_sum(vals, lbl, max_labels=4))
+    assert sums[0] == 0 + 1
+    assert sums[1] == 3 + 4 + 5
+    assert sums[2] == 8
+    assert sums[3] == 0
+    oh = np.asarray(L.label_onehot(lbl, 4))
+    assert oh.shape == (4, 3, 3)
+    assert oh[0].sum() == 2 and oh[1].sum() == 3 and oh[2].sum() == 1
+
+
+def test_big_snake():
+    """A long winding component converges within the iteration budget."""
+    size = 64
+    mask = np.zeros((size, size), bool)
+    for row in range(0, size, 4):
+        mask[row, :] = True
+        if (row // 4) % 2 == 0:
+            mask[row : row + 4, -1] = True
+        else:
+            mask[row : row + 4, 0] = True
+    ours = np.asarray(L.connected_components(mask))
+    assert len(np.unique(ours[mask])) == 1
