@@ -1,0 +1,288 @@
+"""Per-label reduction machinery — the vectorization layer under the feature bank.
+
+The reference extracts features one object at a time in a Python loop
+(``extraction/extract.py:345-374``, SURVEY §2.6 "the throughput bottleneck").
+Here every per-object statistic is a *label-indexed segment reduction* over
+the whole tile:
+
+- sums/moments: scatter-add over flattened pixels;
+- min/max/bounding boxes: scatter-min/max;
+- exact order statistics (median, quartiles, MAD, top-percentile means):
+  one lexicographic sort of (label, value) pairs (``jax.lax.sort`` with two
+  keys) followed by per-label offset gathers — no loops, no histograms, no
+  approximation;
+- directional geometry (convex hull area, Feret diameters): a (pixels x K)
+  projection matmul (MXU) + segment-max over K static directions.
+
+All outputs are ``(max_labels,)`` arrays (label k at row k-1), padded with
+zeros/NaN for absent labels; batching over tiles is ``jax.vmap``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def seg_sum(values, labels, max_labels):
+    out = jnp.zeros(max_labels + 1, dtype=jnp.promote_types(values.dtype, jnp.float32))
+    return out.at[labels.reshape(-1)].add(values.reshape(-1))[1:]
+
+
+def seg_min(values, labels, max_labels, init=jnp.inf):
+    out = jnp.full(max_labels + 1, init, dtype=jnp.float32)
+    return out.at[labels.reshape(-1)].min(values.reshape(-1).astype(jnp.float32))[1:]
+
+
+def seg_max(values, labels, max_labels, init=-jnp.inf):
+    out = jnp.full(max_labels + 1, init, dtype=jnp.float32)
+    return out.at[labels.reshape(-1)].max(values.reshape(-1).astype(jnp.float32))[1:]
+
+
+def counts(labels, max_labels):
+    return seg_sum(jnp.ones(labels.size, jnp.float32), labels, max_labels)
+
+
+class LabelStats:
+    """Shared per-label accumulators computed once per (tile, label-map)."""
+
+    def __init__(self, labels: jnp.ndarray, max_labels: int):
+        self.labels = labels
+        self.max_labels = max_labels
+        H, W = labels.shape
+        self.yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        self.xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        self.area = counts(labels, max_labels)
+        self.present = self.area > 0
+        safe_area = jnp.maximum(self.area, 1.0)
+        self.cy = seg_sum(self.yy, labels, max_labels) / safe_area
+        self.cx = seg_sum(self.xx, labels, max_labels) / safe_area
+        self.safe_area = safe_area
+
+    def central_moments(self):
+        """Second central moments (mu20, mu02, mu11) per label."""
+        l = self.labels
+        m = self.max_labels
+        sy2 = seg_sum(self.yy**2, l, m)
+        sx2 = seg_sum(self.xx**2, l, m)
+        sxy = seg_sum(self.yy * self.xx, l, m)
+        mu20 = sy2 / self.safe_area - self.cy**2
+        mu02 = sx2 / self.safe_area - self.cx**2
+        mu11 = sxy / self.safe_area - self.cy * self.cx
+        return mu20, mu02, mu11
+
+
+def ellipse_params(mu20, mu02, mu11, area):
+    """skimage-convention ellipse from central moments.
+
+    Returns (major_axis_len, minor_axis_len, eccentricity, orientation).
+    Matches ``regionprops``: axes from eigenvalues of the normalized
+    second-moment matrix + 1/12 pixel-variance correction is NOT applied
+    (regionprops does not apply it either for raw moments).
+    """
+    common = jnp.sqrt(jnp.maximum((mu20 - mu02) ** 2 + 4 * mu11**2, 0.0))
+    l1 = (mu20 + mu02 + common) / 2
+    l2 = (mu20 + mu02 - common) / 2
+    l1 = jnp.maximum(l1, 0.0)
+    l2 = jnp.maximum(l2, 0.0)
+    major = 4 * jnp.sqrt(l1)
+    minor = 4 * jnp.sqrt(l2)
+    ecc = jnp.sqrt(jnp.maximum(1.0 - l2 / jnp.maximum(l1, 1e-12), 0.0))
+    # orientation: angle of the major axis (regionprops convention)
+    orientation = 0.5 * jnp.arctan2(-2 * mu11, mu02 - mu20)
+    del area
+    return major, minor, ecc, orientation
+
+
+# ---------------------------------------------------------------------------
+# Exact order statistics via lexicographic sort
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_labels",))
+def sorted_by_label(values: jnp.ndarray, labels: jnp.ndarray, max_labels: int):
+    """Sort pixels by (label, value); return (sorted_values, starts, counts).
+
+    ``starts[k]``/``counts[k]`` delimit label ``k+1``'s ascending value run
+    inside ``sorted_values``. Background (label 0) sorts first and is
+    excluded by the offsets.
+    """
+    flat_l = labels.reshape(-1).astype(jnp.int32)
+    flat_v = values.reshape(-1).astype(jnp.float32)
+    sorted_l, sorted_v = jax.lax.sort((flat_l, flat_v), num_keys=2)
+    cnt = counts(labels, max_labels)
+    n_bg = flat_l.size - cnt.sum()
+    starts = n_bg + jnp.concatenate([jnp.zeros(1), jnp.cumsum(cnt)[:-1]])
+    return sorted_v, starts.astype(jnp.int32), cnt
+
+
+def quantile_from_sorted(sorted_v, starts, cnt, q: float):
+    """Linear-interpolated quantile per label (numpy 'linear' method)."""
+    pos = q * jnp.maximum(cnt - 1.0, 0.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo
+    v_lo = sorted_v[jnp.clip(starts + lo, 0, sorted_v.size - 1)]
+    v_hi = sorted_v[jnp.clip(starts + hi, 0, sorted_v.size - 1)]
+    out = v_lo * (1 - frac) + v_hi * frac
+    return jnp.where(cnt > 0, out, jnp.nan)
+
+
+def topk_mean_from_sorted(sorted_v, starts, cnt, frac: float):
+    """Mean of the top ``frac`` fraction of each label's values (>= 1 pixel).
+
+    Reference ``max2p5pc`` (``cell.py``): mean of pixels above the
+    97.5th percentile, i.e. the top 2.5%.
+    """
+    csum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(sorted_v)])
+    k = jnp.maximum(jnp.ceil(cnt * frac), 1.0)
+    k = jnp.minimum(k, cnt).astype(jnp.int32)
+    end = starts + cnt.astype(jnp.int32)
+    top_sum = csum[jnp.clip(end, 0, csum.size - 1)] - csum[
+        jnp.clip(end - k, 0, csum.size - 1)
+    ]
+    return jnp.where(cnt > 0, top_sum / jnp.maximum(k, 1), jnp.nan)
+
+
+def topk_median_from_sorted(sorted_v, starts, cnt, k: int):
+    """Median of each label's top-k values (reference ``max5px_median``)."""
+    kk = jnp.minimum(float(k), cnt)
+    end = starts + cnt.astype(jnp.int32)
+    # median position inside the top-k run [end-kk, end)
+    pos = (kk - 1.0) / 2.0
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo
+    base = end - kk.astype(jnp.int32)
+    v_lo = sorted_v[jnp.clip(base + lo, 0, sorted_v.size - 1)]
+    v_hi = sorted_v[jnp.clip(base + hi, 0, sorted_v.size - 1)]
+    return jnp.where(cnt > 0, v_lo * (1 - frac) + v_hi * frac, jnp.nan)
+
+
+# ---------------------------------------------------------------------------
+# Directional geometry: convex hull area, Feret diameters
+# ---------------------------------------------------------------------------
+
+
+def directional_extents(labels: jnp.ndarray, max_labels: int, n_dir: int = 64):
+    """Support-function extents per label over ``n_dir`` half-turn directions.
+
+    Projects every pixel onto K unit directions (one (HW, K) matmul — MXU)
+    and segment-max/min per label. Feeds Feret diameters and the convex
+    hull area approximation.
+
+    Returns (proj_max, proj_min) of shape (max_labels, n_dir).
+    """
+    H, W = labels.shape
+    theta = jnp.arange(n_dir) * (jnp.pi / n_dir)
+    dirs = jnp.stack([jnp.cos(theta), jnp.sin(theta)])  # (2, K)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+    pts = jnp.stack([yy, xx], axis=1)  # (HW, 2)
+    proj = pts @ dirs  # (HW, K)
+    flat_l = labels.reshape(-1)
+    pmax = jnp.full((max_labels + 1, proj.shape[1]), -jnp.inf, jnp.float32)
+    pmax = pmax.at[flat_l].max(proj)[1:]
+    pmin = jnp.full((max_labels + 1, proj.shape[1]), jnp.inf, jnp.float32)
+    pmin = pmin.at[flat_l].min(proj)[1:]
+    return pmax, pmin
+
+
+def feret_diameters(pmax, pmin):
+    """(max_feret, min_feret) from directional extents (+1 px for pixel width)."""
+    widths = pmax - pmin + 1.0
+    finite = jnp.isfinite(widths)
+    max_f = jnp.max(jnp.where(finite, widths, -jnp.inf), axis=1)
+    min_f = jnp.min(jnp.where(finite, widths, jnp.inf), axis=1)
+    valid = finite.any(axis=1)
+    return (
+        jnp.where(valid, max_f, jnp.nan),
+        jnp.where(valid, min_f, jnp.nan),
+    )
+
+
+def convex_area_from_extents(labels, max_labels, n_dir: int = 64):
+    """Convex hull area per label via the support-polygon (shoelace) formula.
+
+    Uses 2K directions over the full turn; the circumscribed polygon from K
+    support lines converges to the true hull area as K grows (error
+    O(1/K^2)); pixel centers are inflated by half a pixel to approximate
+    pixelated hull areas.
+    """
+    H, W = labels.shape
+    K = 2 * n_dir
+    theta = jnp.arange(K) * (2 * jnp.pi / K)
+    dirs = jnp.stack([jnp.cos(theta), jnp.sin(theta)])  # (2, K)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+    pts = jnp.stack([yy, xx], axis=1)
+    proj = pts @ dirs  # (HW, K)
+    flat_l = labels.reshape(-1)
+    h = jnp.full((max_labels + 1, K), -jnp.inf, jnp.float32)
+    h = h.at[flat_l].max(proj)[1:] + 0.5  # support values, half-pixel inflate
+    # Vertices of the circumscribed polygon: intersection of support lines
+    # k and k+1. With unit normals n_k, the vertex is solve of
+    # [n_k; n_{k+1}] v = [h_k; h_{k+1}].
+    nk = dirs.T  # (K, 2)
+    nk1 = jnp.roll(nk, -1, axis=0)
+    hk = h
+    hk1 = jnp.roll(h, -1, axis=1)
+    det = nk[:, 0] * nk1[:, 1] - nk[:, 1] * nk1[:, 0]  # (K,)
+    vy = (hk * nk1[None, :, 1] - hk1 * nk[None, :, 1]) / det[None, :]
+    vx = (hk1 * nk[None, :, 0] - hk * nk1[None, :, 0]) / det[None, :]
+    # Shoelace over vertices
+    vy1 = jnp.roll(vy, -1, axis=1)
+    vx1 = jnp.roll(vx, -1, axis=1)
+    area = 0.5 * jnp.abs(jnp.sum(vy * vx1 - vy1 * vx, axis=1))
+    valid = jnp.isfinite(h).all(axis=1)
+    return jnp.where(valid, area, jnp.nan)
+
+
+# ---------------------------------------------------------------------------
+# Boundary / distance helpers
+# ---------------------------------------------------------------------------
+
+
+def boundary_mask(labels: jnp.ndarray) -> jnp.ndarray:
+    """Pixels whose 4-neighborhood leaves their label (object outlines)."""
+    pad = jnp.pad(labels, 1, constant_values=0)
+    up = pad[:-2, 1:-1]
+    down = pad[2:, 1:-1]
+    left = pad[1:-1, :-2]
+    right = pad[1:-1, 2:]
+    diff = (
+        (labels != up) | (labels != down) | (labels != left) | (labels != right)
+    )
+    return diff & (labels > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def distance_to_boundary(labels: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
+    """Chessboard-metric distance transform inside each object.
+
+    Iterated same-label erosion: distance d pixels survive d erosions.
+    Equivalent of scipy ``distance_transform_cdt(metric='chessboard') + 1``
+    on each object independently (objects may touch: inter-label boundaries
+    count as background).
+    """
+    fg = labels > 0
+    pad_l = jnp.pad(labels, 1, constant_values=-1)
+
+    def same(dy, dx):
+        return pad_l[1 + dy : pad_l.shape[0] - 1 + dy, 1 + dx : pad_l.shape[1] - 1 + dx] == labels
+
+    def body(_, state):
+        alive, dist = state
+        keep = alive
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)):
+            shifted = jnp.pad(alive, 1)[1 + dy : alive.shape[0] + 1 + dy, 1 + dx : alive.shape[1] + 1 + dx]
+            keep = keep & (shifted | ~same(dy, dx))
+        dist = dist + keep.astype(jnp.float32)
+        return keep, dist
+
+    alive0 = fg
+    dist0 = fg.astype(jnp.float32)
+    _, dist = jax.lax.fori_loop(0, max_iter, body, (alive0, dist0))
+    return dist

@@ -1,0 +1,180 @@
+"""Feature-bank numerics vs per-object numpy/scipy ground truth."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from aliby_tpu.extract import cellfuns, features
+from aliby_tpu.ops import edt as edt_mod
+
+
+def _ellipse_labels(size=96, specs=((30, 30, 10, 6, 0.3), (66, 60, 12, 9, 1.2))):
+    yy, xx = np.mgrid[0:size, 0:size]
+    labels = np.zeros((size, size), np.int32)
+    for i, (cy, cx, a, b, th) in enumerate(specs, start=1):
+        u = (xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)
+        v = -(xx - cx) * np.sin(th) + (yy - cy) * np.cos(th)
+        labels[(u / a) ** 2 + (v / b) ** 2 <= 1] = i
+    return labels
+
+
+@pytest.fixture(scope="module")
+def labeled():
+    labels = _ellipse_labels()
+    rng = np.random.default_rng(0)
+    img = rng.uniform(10, 100, labels.shape).astype(np.float32)
+    img[labels == 1] += 200
+    img[labels == 2] += 50
+    return labels, img
+
+
+def test_edt_matches_scipy(labeled):
+    labels, _ = labeled
+    mask = labels > 0
+    ours = np.asarray(edt_mod.edt(mask))
+    ref = ndi.distance_transform_edt(mask)
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_edt_other_label_touching():
+    # two touching squares: per-label EDT must see the other label as bg
+    labels = np.zeros((20, 20), np.int32)
+    labels[5:15, 2:10] = 1
+    labels[5:15, 10:18] = 2
+    d = np.asarray(edt_mod.edt_to_other_label(labels))
+    # pixel deep inside label 1 but adjacent to label 2's column
+    assert d[10, 9] == 1.0
+    ref1 = ndi.distance_transform_edt(labels == 1)
+    np.testing.assert_allclose(d[labels == 1], ref1[labels == 1], atol=1e-3)
+
+
+def test_pixel_metrics_vs_numpy(labeled):
+    labels, img = labeled
+    L = 8
+    out = {
+        k: np.asarray(v)
+        for k, v in cellfuns.pixel_metrics(labels, img, L).items()
+    }
+    for lbl in (1, 2):
+        sel = img[labels == lbl]
+        i = lbl - 1
+        assert np.isclose(out["mean"][i], sel.mean(), rtol=1e-5)
+        assert np.isclose(out["total"][i], sel.sum(), rtol=1e-5)
+        assert np.isclose(out["median"][i], np.median(sel), rtol=1e-5)
+        assert np.isclose(out["std"][i], sel.std(), rtol=1e-4)
+        n_top = int(np.ceil(sel.size * 0.025))
+        ref_top = np.mean(np.sort(sel)[-n_top:])
+        assert np.isclose(out["max2p5pc"][i], ref_top, rtol=1e-4)  # f32 cumsum
+        ref_m5 = np.mean(np.sort(sel)[-5:]) / np.median(sel)
+        assert np.isclose(out["max5px_median"][i], ref_m5, rtol=1e-5)
+    # absent labels NaN
+    assert np.isnan(out["mean"][5])
+
+
+def test_mask_metrics_volume_analytic():
+    """Reference property test style (tests/extraction/test_volume.py):
+    ellipsoid volume within a few % of analytic over radius x ecc grid."""
+    size = 128
+    for a, b in [(20, 20), (24, 16), (30, 12)]:
+        yy, xx = np.mgrid[0:size, 0:size]
+        labels = (
+            ((xx - 64) / a) ** 2 + ((yy - 64) / b) ** 2 <= 1
+        ).astype(np.int32)
+        out = {k: np.asarray(v) for k, v in cellfuns.mask_metrics(labels, 8).items()}
+        vol_analytic = 4 / 3 * np.pi * a * b * b  # maj=a, min=b
+        assert abs(out["volume"][0] - vol_analytic) / vol_analytic < 0.12, (a, b)
+        ecc_analytic = np.sqrt(a**2 - b**2) / a
+        assert abs(out["eccentricity"][0] - ecc_analytic) < 0.12
+
+
+def test_sizeshape_core(labeled):
+    labels, _ = labeled
+    out = {k: np.asarray(v) for k, v in features.sizeshape(labels, 8).items()}
+    for lbl in (1, 2):
+        i = lbl - 1
+        mask = labels == lbl
+        assert out["AreaShape_Area"][i] == mask.sum()
+        cy, cx = ndi.center_of_mass(mask)
+        assert np.isclose(out["AreaShape_Center_Y"][i], cy, atol=1e-3)
+        assert np.isclose(out["AreaShape_Center_X"][i], cx, atol=1e-3)
+        ys, xs = np.nonzero(mask)
+        assert out["AreaShape_BoundingBoxMinimum_Y"][i] == ys.min()
+        assert out["AreaShape_BoundingBoxMaximum_X"][i] == xs.max()
+        bbox_area = (ys.max() - ys.min() + 1) * (xs.max() - xs.min() + 1)
+        assert np.isclose(out["AreaShape_Extent"][i], mask.sum() / bbox_area, rtol=1e-5)
+        assert out["AreaShape_EulerNumber"][i] == 1.0
+        assert 0.9 <= out["AreaShape_Solidity"][i] <= 1.01
+    # ellipse axes vs specs (a=10,b=6 for label 1)
+    assert abs(out["AreaShape_MajorAxisLength"][0] - 20) < 1.5
+    assert abs(out["AreaShape_MinorAxisLength"][0] - 12) < 1.5
+
+
+def test_sizeshape_euler_with_hole():
+    labels = np.zeros((40, 40), np.int32)
+    labels[5:25, 5:25] = 1
+    labels[12:18, 12:18] = 0  # a hole
+    out = features.sizeshape(labels, 4)
+    assert np.asarray(out["AreaShape_EulerNumber"])[0] == 0.0
+
+
+def test_perimeter_square():
+    # a 10x10 square has a weighted perimeter near 4*9=36
+    labels = np.zeros((20, 20), np.int32)
+    labels[5:15, 5:15] = 1
+    p = float(np.asarray(features.sizeshape(labels, 4)["AreaShape_Perimeter"])[0])
+    assert 30 < p < 40
+
+
+def test_intensity_vs_numpy(labeled):
+    labels, img = labeled
+    out = {k: np.asarray(v) for k, v in features.intensity(labels, img, 8).items()}
+    for lbl in (1, 2):
+        i = lbl - 1
+        sel = img[labels == lbl]
+        assert np.isclose(out["Intensity_IntegratedIntensity"][i], sel.sum(), rtol=1e-5)
+        assert np.isclose(out["Intensity_MeanIntensity"][i], sel.mean(), rtol=1e-5)
+        assert np.isclose(out["Intensity_MedianIntensity"][i], np.median(sel), rtol=1e-5)
+        assert np.isclose(
+            out["Intensity_LowerQuartileIntensity"][i],
+            np.percentile(sel, 25),
+            rtol=1e-4,
+        )
+        mad_ref = np.median(np.abs(sel - np.median(sel)))
+        assert np.isclose(out["Intensity_MADIntensity"][i], mad_ref, rtol=1e-4)
+    # max intensity location
+    mask1 = labels == 1
+    masked = np.where(mask1, img, -np.inf)
+    my, mx = np.unravel_index(np.argmax(masked), img.shape)
+    assert out["Location_MaxIntensity_Y"][0] == my
+    assert out["Location_MaxIntensity_X"][0] == mx
+
+
+def test_pearson_vs_numpy(labeled):
+    labels, img = labeled
+    rng = np.random.default_rng(1)
+    img2 = 0.6 * img + rng.normal(0, 5, img.shape).astype(np.float32)
+    out = features.pearson(labels, img, img2, 8)
+    for lbl in (1, 2):
+        sel = labels == lbl
+        ref = np.corrcoef(img[sel], img2[sel])[0, 1]
+        assert np.isclose(float(np.asarray(out["pearson"])[lbl - 1]), ref, atol=1e-4)
+
+
+def test_manders_and_rwc_ranges(labeled):
+    labels, img = labeled
+    img2 = img[::-1, ::-1].copy()
+    m = features.manders_fold(labels, img, img2, 8)
+    r = features.rwc(labels, img, img2, 8)
+    c = features.costes(labels, img, img2, 8)
+    for d in (m, r, c):
+        for v in d.values():
+            vals = np.asarray(v)[:2]
+            assert np.all((vals >= -1e-6) & (vals <= 1.0 + 1e-6))
+
+
+def test_background_metrics(labeled):
+    labels, img = labeled
+    out = cellfuns.background_metrics(labels, img)
+    bg = img[labels == 0]
+    assert np.isclose(float(out["imBackground"]), np.median(bg), rtol=1e-5)
+    assert np.isclose(float(out["background_max5"]), np.sort(bg)[-5:].mean(), rtol=1e-5)
