@@ -1,0 +1,258 @@
+"""Segmenter dispatch: one factory, several kinds, uniform closure contract.
+
+Reference surface (``segment/dispatch.py:22-253``): ``dispatch_segmenter
+(kind, channel_to_segment, ...)`` returns ``segment(pixels) -> masks`` where
+``pixels`` is ``(F, C, Z, Y, X)`` (a leading T of size 1 is dropped) and
+``masks`` is a list of per-tile 2-D uint16 label maps.
+
+Kinds:
+- ``cellpose`` (default): the in-process Flax U-Net + flow-field mask
+  reconstruction — the TPU replacement for the reference's torch
+  CellposeModel. Weights from ``pretrained_path`` (flax msgpack) or the
+  bundled synthetic-trained checkpoint.
+- ``threshold``: Otsu + EDT-peak Voronoi splitting — dependency-free
+  baseline, also the trap-pipeline default for bright-field-free fixtures.
+- ``nahual_cellpose`` / ``nahual_baby`` / ``nahual_spotiflow``: remote
+  model-server clients (``aliby_tpu.net``), kept for off-slice serving
+  parity; the on-slice path needs no RPC.
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aliby_tpu.models.flows import masks_from_flows
+from aliby_tpu.ops.edt import edt_to_other_label, nearest_seed
+from aliby_tpu.ops.imageops import gaussian_blur, otsu_threshold, peak_local_max
+from aliby_tpu.ops.labels import connected_components, relabel_sequential
+
+BUNDLED_WEIGHTS = Path(__file__).parent / "weights" / "cellpose_synthetic.msgpack"
+
+
+def _to_uint16(mask: np.ndarray) -> np.ndarray:
+    if mask.max() > np.iinfo(np.uint16).max:
+        raise ValueError("Label overflow: >65535 objects in one tile.")
+    return mask.astype(np.uint16)
+
+
+def _drop_leading_time(pixels: np.ndarray) -> np.ndarray:
+    if pixels.ndim == 6:
+        pixels = pixels[0]
+    return pixels
+
+
+# ---------------------------------------------------------------------------
+# threshold segmenter
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("min_distance", "max_labels", "min_size", "threshold_scale"))
+def _threshold_segment_2d(
+    img: jnp.ndarray,
+    min_distance: int = 8,
+    max_labels: int = 256,
+    min_size: int = 20,
+    threshold_scale: float = 1.0,
+) -> jnp.ndarray:
+    smoothed = gaussian_blur(img.astype(jnp.float32), 1.5)
+    # scale lets soft-edged objects keep their skirts (otsu cuts at the
+    # mid-profile on smooth blobs)
+    thr = otsu_threshold(smoothed) * threshold_scale
+    mask = smoothed > thr
+    dist = edt_to_other_label(mask.astype(jnp.int32))
+    coords, valid = peak_local_max(
+        dist, min_distance=min_distance, threshold=1.0, max_peaks=max_labels
+    )
+    seed_map = jnp.zeros(img.shape, bool)
+    seed_map = seed_map.at[coords[:, 0], coords[:, 1]].set(valid)
+    sy, sx = nearest_seed(seed_map)
+    H, W = img.shape
+    seed_ids = jnp.cumsum(seed_map.reshape(-1)).reshape(H, W)  # 1..n at seeds
+    lbl = seed_ids[jnp.clip(sy, 0, H - 1), jnp.clip(sx, 0, W - 1)]
+    labels = jnp.where(mask & (sy > -(2**20)), lbl, 0).astype(jnp.int32)
+    # fall back to plain CC where no seeds (tiny blobs)
+    cc = connected_components(mask & (labels == 0))
+    cc_shift = jnp.where(cc > 0, cc + labels.max(), 0)
+    labels = jnp.where(labels > 0, labels, cc_shift)
+    labels, _ = relabel_sequential(labels, max_labels)
+    from aliby_tpu.ops.labels import segment_sum
+
+    areas = segment_sum(jnp.ones(H * W, jnp.float32), labels, max_labels)
+    keep = areas >= min_size
+    keep_px = keep[jnp.clip(labels - 1, 0, max_labels - 1)] & (labels > 0)
+    labels = jnp.where(keep_px, labels, 0)
+    labels, _ = relabel_sequential(labels, max_labels)
+    return labels
+
+
+def _make_threshold_segmenter(channel_to_segment: int = 0, **kwargs):
+    seg_kwargs = {
+        k: kwargs[k]
+        for k in ("min_distance", "max_labels", "min_size", "threshold_scale")
+        if k in kwargs
+    }
+
+    def segment(pixels, **_ignored):
+        pixels = _drop_leading_time(np.asarray(pixels))
+        imgs = pixels[:, channel_to_segment]  # (F, Z, Y, X)
+        imgs = imgs.max(axis=1) if imgs.shape[1] > 1 else imgs[:, 0]
+        batched = jax.vmap(lambda im: _threshold_segment_2d(im, **seg_kwargs))(
+            jnp.asarray(imgs)
+        )
+        return [_to_uint16(np.asarray(m)) for m in batched]
+
+    return segment
+
+
+# ---------------------------------------------------------------------------
+# cellpose-TPU segmenter
+# ---------------------------------------------------------------------------
+
+
+def _normalize_percentile(img: jnp.ndarray) -> jnp.ndarray:
+    lo = jnp.percentile(img, 1.0)
+    hi = jnp.percentile(img, 99.0)
+    return (img - lo) / jnp.maximum(hi - lo, 1e-6)
+
+
+def _pad_to_multiple(img: np.ndarray, m: int = 8):
+    H, W = img.shape[-2:]
+    ph = (-H) % m
+    pw = (-W) % m
+    if ph or pw:
+        pad = [(0, 0)] * (img.ndim - 2) + [(0, ph), (0, pw)]
+        img = np.pad(img, pad, mode="reflect")
+    return img, (H, W)
+
+
+class CellposeTPU:
+    """Jitted forward + flow dynamics with weight management."""
+
+    def __init__(
+        self,
+        pretrained_path: str | Path | None = None,
+        model_kwargs: dict | None = None,
+        cellprob_threshold: float = 0.0,
+        flow_iters: int = 100,
+        max_labels: int = 256,
+        min_size: int = 15,
+    ):
+        from aliby_tpu.models.unet import init_params
+
+        self.model, params = init_params(
+            jax.random.PRNGKey(0), in_channels=2, **(model_kwargs or {})
+        )
+        path = pretrained_path or (
+            BUNDLED_WEIGHTS if BUNDLED_WEIGHTS.exists() else None
+        )
+        if path is not None:
+            from aliby_tpu.models.training import load_params
+
+            params = load_params(path, params)
+        else:
+            warnings.warn(
+                "CellposeTPU running with untrained weights; pass "
+                "pretrained_path or bundle weights for real masks."
+            )
+        self.params = params
+        self.cellprob_threshold = cellprob_threshold
+        self.flow_iters = flow_iters
+        self.max_labels = max_labels
+        self.min_size = min_size
+
+        model = self.model
+        cpt = float(cellprob_threshold)
+        fi, ml, ms = int(flow_iters), int(max_labels), int(min_size)
+
+        @jax.jit
+        def _forward(params, images):  # (F, H, W, 2) -> (F, H, W, 3)
+            return model.apply(params, images)
+
+        @jax.jit
+        def _reconstruct(pred):  # (F, H, W, 3) -> (F, H, W) labels
+            def one(p):
+                flows = jnp.stack([p[..., 0], p[..., 1]]) / 5.0
+                return masks_from_flows(
+                    flows,
+                    p[..., 2],
+                    cellprob_threshold=cpt,
+                    n_iter=fi,
+                    max_labels=ml,
+                    min_size=ms,
+                )
+
+            return jax.vmap(one)(pred)
+
+        self._forward = _forward
+        self._reconstruct = _reconstruct
+
+    def segment_tiles(self, images: np.ndarray) -> list[np.ndarray]:
+        """(F, 2, Y, X) float -> list of (Y, X) uint16 label maps."""
+        padded, (H, W) = _pad_to_multiple(images)
+        x = jnp.asarray(padded).transpose(0, 2, 3, 1)  # NHWC
+        x = jax.vmap(
+            lambda im: jax.vmap(_normalize_percentile, in_axes=-1, out_axes=-1)(im)
+        )(x)
+        pred = self._forward(self.params, x)
+        labels = self._reconstruct(pred)
+        out = np.asarray(labels)[:, :H, :W]
+        return [_to_uint16(m) for m in out]
+
+
+def _make_cellpose_segmenter(
+    channel_to_segment: int = 0,
+    second_channel: int | None = None,
+    three_d: bool = False,
+    **kwargs,
+):
+    engine = CellposeTPU(
+        pretrained_path=kwargs.get("pretrained_path"),
+        model_kwargs=kwargs.get("model_kwargs"),
+        cellprob_threshold=kwargs.get("cellprob_threshold", 0.0),
+        flow_iters=kwargs.get("flow_iters", 100),
+        max_labels=kwargs.get("max_labels", 256),
+        min_size=kwargs.get("min_size", 15),
+    )
+
+    def segment(pixels, **_ignored):
+        pixels = _drop_leading_time(np.asarray(pixels)).astype(np.float32)
+        main = pixels[:, channel_to_segment]  # (F, Z, Y, X)
+        main = main.max(axis=1) if main.shape[1] > 1 else main[:, 0]
+        if second_channel is not None:
+            sec = pixels[:, second_channel]
+            sec = sec.max(axis=1) if sec.shape[1] > 1 else sec[:, 0]
+        else:
+            sec = np.zeros_like(main)
+        del _ignored
+        images = np.stack([main, sec], axis=1)  # (F, 2, Y, X)
+        return engine.segment_tiles(images)
+
+    segment.engine = engine
+    return segment
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def dispatch_segmenter(
+    kind: str = "cellpose", channel_to_segment: int = 0, **kwargs
+):
+    if kind in ("cellpose", "cellpose_tpu"):
+        return _make_cellpose_segmenter(channel_to_segment, **kwargs)
+    if kind == "threshold":
+        return _make_threshold_segmenter(channel_to_segment, **kwargs)
+    if kind.startswith("nahual"):
+        from aliby_tpu.net.client import make_remote_segmenter
+
+        return make_remote_segmenter(
+            kind, channel_to_segment=channel_to_segment, **kwargs
+        )
+    raise ValueError(f"Unknown segmenter kind {kind!r}")

@@ -1,0 +1,157 @@
+"""Training for the flagship segmentation net.
+
+Loss follows cellpose: MSE on (5x-scaled) flow targets + binary
+cross-entropy on the cell logit. Targets come from
+``flows.masks_to_flows`` on label maps (synthetic or curated).
+
+``make_sharded_train_step`` is the multi-chip path: batch sharded over the
+``dp`` mesh axis and image rows over ``sp`` (spatial partitioning — XLA
+inserts halo exchanges for the convs); params replicated. This is what
+``__graft_entry__.dryrun_multichip`` exercises on a virtual mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aliby_tpu.models import flows as flows_mod
+from aliby_tpu.models.unet import CellposeNet
+
+
+def loss_fn(params, model: CellposeNet, batch: dict) -> tuple[jnp.ndarray, dict]:
+    pred = model.apply(params, batch["image"])  # (B, H, W, 3)
+    flow_pred = pred[..., :2]
+    logit = pred[..., 2]
+    # targets arrive channel-first (B, 2, H, W) from masks_to_flows
+    flow_target = 5.0 * jnp.moveaxis(batch["flows"], 1, -1)
+    flow_loss = jnp.mean((flow_pred - flow_target) ** 2)
+    prob_loss = jnp.mean(
+        optax.sigmoid_binary_cross_entropy(logit, batch["fg"].astype(jnp.float32))
+    )
+    loss = 0.5 * flow_loss + prob_loss
+    return loss, {"loss": loss, "flow_loss": flow_loss, "prob_loss": prob_loss}
+
+
+def make_train_step(model: CellposeNet, tx: optax.GradientTransformation):
+    @jax.jit
+    def step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, model, batch
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+def make_sharded_train_step(model: CellposeNet, tx, mesh):
+    """Train step jitted over a (dp, sp) mesh: batch x spatial partitioning."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharding = {
+        "image": NamedSharding(mesh, P("dp", "sp", None, None)),
+        "flows": NamedSharding(mesh, P("dp", None, "sp", None)),
+        "fg": NamedSharding(mesh, P("dp", "sp", None)),
+    }
+    replicated = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(replicated, replicated, batch_sharding),
+        out_shardings=(replicated, replicated, replicated),
+    )
+    def step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, model, batch
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step, batch_sharding
+
+
+def synthetic_batch(rng: np.random.Generator, batch: int, size: int, in_channels: int = 2) -> dict:
+    """Render (image, flows, fg) training tuples from the fixture generator."""
+    from aliby_tpu.test_data import render_cells
+
+    imgs, flows, fgs = [], [], []
+    for _ in range(batch):
+        n = int(rng.integers(6, 16))
+        cells, nuclei, labels = render_cells(size, n, rng)
+        noise = rng.normal(0, 0.03, (size, size)).astype(np.float32)
+        ch0 = (cells + noise).astype(np.float32)
+        ch1 = (nuclei + noise).astype(np.float32)
+        img = np.stack([ch0, ch1] + [np.zeros_like(ch0)] * (in_channels - 2), -1)
+        f = np.asarray(flows_mod.masks_to_flows(labels))
+        imgs.append(img)
+        flows.append(f)
+        fgs.append(labels > 0)
+    return {
+        "image": np.stack(imgs),
+        "flows": np.stack(flows),
+        "fg": np.stack(fgs),
+    }
+
+
+def train_synthetic(
+    n_steps: int = 200,
+    batch: int = 4,
+    size: int = 128,
+    lr: float = 1e-3,
+    seed: int = 0,
+    model_kwargs: dict | None = None,
+    log_every: int = 50,
+) -> tuple[CellposeNet, Any]:
+    """Train the flagship on synthetic fields; returns (model, params)."""
+    from aliby_tpu.models.unet import init_params
+
+    rng = np.random.default_rng(seed)
+    model, params = init_params(
+        jax.random.PRNGKey(seed), in_channels=2, size=size, **(model_kwargs or {})
+    )
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx)
+    for i in range(n_steps):
+        batch_data = synthetic_batch(rng, batch, size)
+        params, opt_state, metrics = step(params, opt_state, batch_data)
+        if log_every and (i + 1) % log_every == 0:
+            print(
+                f"step {i + 1}: loss={float(metrics['loss']):.4f} "
+                f"flow={float(metrics['flow_loss']):.4f} "
+                f"prob={float(metrics['prob_loss']):.4f}"
+            )
+    return model, params
+
+
+# -- checkpoint helpers (msgpack via flax; no orbax dependency needed) ------
+
+
+def save_params(params, path) -> None:
+    import pathlib
+
+    from flax import serialization
+
+    data = serialization.to_bytes(
+        jax.tree_util.tree_map(lambda x: np.asarray(x, np.float16), params)
+    )
+    pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
+    pathlib.Path(path).write_bytes(data)
+
+
+def load_params(path, template):
+    import pathlib
+
+    from flax import serialization
+
+    f16 = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float16), template)
+    restored = serialization.from_bytes(f16, pathlib.Path(path).read_bytes())
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), restored)

@@ -100,6 +100,48 @@ def _jfa(seed_mask: jnp.ndarray, labels: jnp.ndarray | None, mode: str) -> jnp.n
 
 
 @jax.jit
+def nearest_seed(seed_mask: jnp.ndarray):
+    """Coordinates (sy, sx) of the nearest seed pixel for every pixel.
+
+    Feeds Voronoi-style region growing (e.g. splitting touching cells from
+    EDT peaks, the watershed stand-in in the threshold segmenter).
+    """
+    H, W = seed_mask.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    sy = jnp.where(seed_mask, yy, _FAR)
+    sx = jnp.where(seed_mask, xx, _FAR)
+
+    def dist2(qy, qx):
+        dy = (yy - qy).astype(jnp.float32)
+        dx = (xx - qx).astype(jnp.float32)
+        return dy * dy + dx * dx
+
+    def sweep(state, stride):
+        sy, sx = state
+        best = jnp.where(sy > _FAR, dist2(sy, sx), jnp.inf)
+        by, bx = sy, sx
+        for sdy in (-1, 0, 1):
+            for sdx in (-1, 0, 1):
+                if sdy == 0 and sdx == 0:
+                    continue
+                ny = jnp.clip(yy + sdy * stride, 0, H - 1)
+                nx = jnp.clip(xx + sdx * stride, 0, W - 1)
+                cy = sy[ny, nx]
+                cx = sx[ny, nx]
+                d = jnp.where(cy > _FAR, dist2(cy, cx), jnp.inf)
+                take = d < best
+                best = jnp.where(take, d, best)
+                by = jnp.where(take, cy, by)
+                bx = jnp.where(take, cx, bx)
+        return (by, bx), None
+
+    stride_seq = jnp.asarray(_strides(H, W), jnp.int32)
+    (sy, sx), _ = jax.lax.scan(sweep, (sy, sx), stride_seq)
+    return sy, sx
+
+
+@jax.jit
 def edt(mask: jnp.ndarray) -> jnp.ndarray:
     """scipy.ndimage.distance_transform_edt: distance of True pixels to the
     nearest False pixel (False pixels -> 0)."""

@@ -1,0 +1,3 @@
+from aliby_tpu.parallel.mesh import make_mesh
+
+__all__ = ["make_mesh"]

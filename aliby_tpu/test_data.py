@@ -94,9 +94,10 @@ def render_cells(
     centers = []
     placed = 0
     attempts = 0
+    margin = min(18, max(4, size // 4))
     while placed < n_cells and attempts < n_cells * 30:
         attempts += 1
-        cy, cx = rng.uniform(18, size - 18, 2)
+        cy, cx = rng.uniform(margin, size - margin, 2)
         if centers and np.min(
             np.hypot(np.array(centers)[:, 0] - cy, np.array(centers)[:, 1] - cx)
         ) < 26:
