@@ -49,8 +49,14 @@ class CellposeNet(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(B, H, W, C_in) float32 -> (B, H, W, 3) float32 predictions."""
+    def __call__(self, x: jnp.ndarray, style_only: bool = False) -> jnp.ndarray:
+        """(B, H, W, C_in) float32 -> (B, H, W, 3) float32 predictions.
+
+        ``style_only=True`` returns just the (B, bottleneck) style vector —
+        the encoder doubles as the in-process deep embedder
+        (``models/embedder.py``), replacing the reference's remote
+        nahual_embed zoo for on-slice featurization.
+        """
         x = x.astype(self.dtype)
         feats = self.base_features
         skips = []
@@ -68,6 +74,8 @@ class CellposeNet(nn.Module):
         style = style / jnp.maximum(
             jnp.linalg.norm(style, axis=-1, keepdims=True), 1e-6
         )
+        if style_only:
+            return style
 
         for i in reversed(range(len(feats) - 1)):
             B, H, W, C = h.shape

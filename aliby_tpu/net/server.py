@@ -1,0 +1,168 @@
+"""Model server: hosts the in-process models behind the wire protocol.
+
+The off-slice counterpart of the reference's nahual servers (cellpose /
+BABY / spotiflow / trackastra / embedder zoo, ``SURVEY §5.8``). Each model
+group maps onto this framework's own implementations, so a cluster can put
+the TPU behind ``tcp://`` and fan positions out from CPU clients with the
+same round-robin-address pattern the reference uses
+(``examples/01:100-104``).
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import uuid
+from pathlib import Path
+
+import numpy as np
+
+from aliby_tpu.net.wire import cleanup_ipc, parse_address, recv_msg, send_msg
+
+
+class ModelServer:
+    def __init__(self, address: str):
+        self.address = address
+        self._sessions: dict[str, dict] = {}
+        self._sock: socket.socket | None = None
+        self._thread: threading.Thread | None = None
+        self._running = False
+
+    # -- model dispatch -----------------------------------------------------
+
+    def _setup(self, model: str, params: dict) -> str:
+        session_id = str(uuid.uuid4())
+        if model == "cellpose":
+            from aliby_tpu.models.segment import _make_cellpose_segmenter
+
+            fn = _make_cellpose_segmenter(channel_to_segment=0, **(params or {}))
+        elif model == "threshold":
+            from aliby_tpu.models.segment import _make_threshold_segmenter
+
+            fn = _make_threshold_segmenter(channel_to_segment=0, **(params or {}))
+        elif model in ("baby", "spotiflow"):
+            # served by the same segmentation engine until dedicated models
+            # land; baby adds per-tile tracking metadata
+            from aliby_tpu.models.segment import _make_threshold_segmenter
+
+            fn = _make_threshold_segmenter(channel_to_segment=0, **(params or {}))
+        elif model == "embed":
+            from aliby_tpu.models.embedder import make_embedder
+
+            fn = make_embedder(**(params or {}))
+        elif model == "trackastra":
+            from aliby_tpu.track.linker import link_tracks
+
+            def fn(stacked, **kw):
+                stacked = np.asarray(stacked)
+                masks_t = stacked[0] if stacked.ndim == 4 else stacked
+                return link_tracks(masks_t)
+        else:
+            raise ValueError(f"unknown model group {model!r}")
+        self._sessions[session_id] = {"model": model, "fn": fn}
+        return session_id
+
+    def _process(self, session: str, model: str, data: np.ndarray):
+        entry = self._sessions.get(session)
+        if entry is None:
+            raise KeyError(f"unknown session {session!r}")
+        fn = entry["fn"]
+        data = np.asarray(data)
+        if entry["model"] in ("cellpose", "threshold", "baby", "spotiflow"):
+            # clients send (F, Y, X); segmenters expect (F, C, Z, Y, X)
+            pixels = data[:, None, None]
+            masks = fn(pixels)
+            result = {"masks": [np.asarray(m) for m in masks]}
+            if entry["model"] == "baby":
+                result["metadata"] = {
+                    "cell_label": [
+                        [int(l) for l in np.unique(m) if l] for m in masks
+                    ],
+                    "mother_assign": [
+                        [0 for l in np.unique(m) if l] for m in masks
+                    ],
+                }
+            return result
+        if entry["model"] == "embed":
+            return fn(data)
+        if entry["model"] == "trackastra":
+            table = fn(data)
+            return {c: table.column(c).to_pylist() for c in table.column_names}
+        raise AssertionError
+
+
+    # -- socket plumbing ----------------------------------------------------
+
+    def _handle_conn(self, conn: socket.socket) -> None:
+        with conn:
+            while self._running:
+                try:
+                    msg = recv_msg(conn)
+                except (ConnectionError, OSError):
+                    return
+                if msg is None:
+                    return
+                try:
+                    op = msg.pop("op")
+                    if op == "setup":
+                        result = self._setup(msg["model"], msg.get("params") or {})
+                    elif op == "process":
+                        result = self._process(
+                            msg["session"], msg.get("model", ""), msg["data"]
+                        )
+                    elif op == "ping":
+                        result = "pong"
+                    else:
+                        raise ValueError(f"unknown op {op!r}")
+                    send_msg(conn, {"result": result})
+                except Exception as e:  # surface errors to the client
+                    try:
+                        send_msg(conn, {"error": f"{type(e).__name__}: {e}"})
+                    except OSError:
+                        return
+
+    def start(self) -> "ModelServer":
+        kind, target = parse_address(self.address)
+        if kind == "unix":
+            cleanup_ipc(self.address)
+            Path(target).parent.mkdir(parents=True, exist_ok=True)
+            sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        else:
+            sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        sock.bind(target)
+        sock.listen(16)
+        sock.settimeout(0.5)
+        self._sock = sock
+        self._running = True
+
+        def loop():
+            while self._running:
+                try:
+                    conn, _ = sock.accept()
+                except socket.timeout:
+                    continue
+                except OSError:
+                    return
+                threading.Thread(
+                    target=self._handle_conn, args=(conn,), daemon=True
+                ).start()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._running = False
+        if self._sock is not None:
+            self._sock.close()
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+        cleanup_ipc(self.address)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+        return False
