@@ -298,11 +298,16 @@ def get_profiles_from_state(state: dict, pipeline: dict) -> pa.Table:
                 # pair so the strict zip in format_extraction accepts them
                 # (the reference's PR #20 regression contract)
                 output = ((("__", "__"),), (output,))
-            table = format_extraction(output)
-            renames = {"tile": "metadata_tile", "label": "metadata_label"}
-            table = table.rename_columns(
-                [renames.get(c, c) for c in table.column_names]
-            )
+            if isinstance(output, tuple) and len(output) == 3:
+                from aliby_tpu.extract.extract import format_extraction_overlap
+
+                table = format_extraction_overlap(output)
+            else:
+                table = format_extraction(output)
+                renames = {"tile": "metadata_tile", "label": "metadata_label"}
+                table = table.rename_columns(
+                    [renames.get(c, c) for c in table.column_names]
+                )
             if len(table):
                 table = table.append_column(
                     "metadata_object",

@@ -277,11 +277,71 @@ def process_tree_masks(
     return tileid_instructions, results
 
 
-def process_tree_masks_overlap(*args, **kwargs):
-    """BABY-style overlapping-mask extraction (engine stage 6)."""
-    raise NotImplementedError(
-        "overlap extraction lands with the BABY pipeline flavour"
+def process_tree_masks_overlap(
+    tree: dict,
+    masks,
+    pixels,
+    ncores=None,
+    cp_measure_kwargs: dict | None = None,
+    progress_bar: bool = False,
+    **kwargs,
+):
+    """BABY-style extraction over stacked, possibly-overlapping masks.
+
+    ``masks`` is a per-tile list of (n_layers, Y, X) label stacks (BABY's
+    layered output). Each (tile, layer) slice is relabeled sequentially and
+    treated as a *virtual tile* by the same vectorized core as the mono
+    path; the inverse label mappings ride along so formatting can restore
+    BABY's original cell labels (reference ``extract.py:456-517``).
+
+    Returns ``(tileid_instructions, results, inverse_mappings)`` with
+    instruction ids ``((tile, stack, label), instruction)``.
+    """
+    del ncores, progress_bar
+    from aliby_tpu.ops.labels import relabel_sequential as _relab
+
+    pixels = np.asarray(pixels)
+    if pixels.ndim == 6:
+        pixels = pixels[0]
+
+    virtual_ids: list[tuple[int, int]] = []
+    v_labels: list[np.ndarray] = []
+    inverse_mappings: dict[tuple[int, int], np.ndarray] = {}
+    max_orig = 1
+    for t, layered in enumerate(masks):
+        layered = np.asarray(layered)
+        if layered.ndim == 2:
+            layered = layered[None]
+        for s in range(layered.shape[0]):
+            max_orig = max(max_orig, int(layered[s].max()))
+    bucket = _max_labels_bucket(max_orig)
+    for t, layered in enumerate(masks):
+        layered = np.asarray(layered)
+        if layered.ndim == 2:
+            layered = layered[None]
+        for s in range(layered.shape[0]):
+            relab, fwd = _relab(
+                jnp.asarray(layered[s].astype(np.int32)), bucket
+            )
+            virtual_ids.append((t, s))
+            v_labels.append(np.asarray(relab))
+            inverse_mappings[(t, s)] = np.asarray(fwd)
+
+    v_pixels = np.stack([pixels[t] for t, _ in virtual_ids])
+    instructions = kv(flatten(tree))
+    v_instr, results = process_tree_masks(
+        tree,
+        v_labels,
+        v_pixels,
+        cp_measure_kwargs=cp_measure_kwargs,
     )
+    # re-key (virtual_tile, label) -> (tile, stack, label)
+    tileid_instructions = tuple(
+        ((virtual_ids[v][0], virtual_ids[v][1], label), inst)
+        for (v, label), inst in v_instr
+    )
+    del instructions
+    return tileid_instructions, results, inverse_mappings
 
 
 # ---------------------------------------------------------------------------
@@ -338,6 +398,39 @@ def format_extraction(instructions_result) -> pa.Table:
 
 
 def format_extraction_overlap(instructions_result) -> pa.Table:
-    raise NotImplementedError(
-        "overlap formatting lands with the BABY pipeline flavour"
-    )
+    """Wide table for overlap extraction; labels restored through the
+    inverse mappings, metadata columns pre-renamed
+    (reference ``extract.py:602-683``)."""
+    instructions, results, inverse_mappings = instructions_result
+    rows: dict = {}
+    metric_names: set = set()
+    for inst, metrics in zip(instructions, results, strict=True):
+        tile, stack, label = inst[0]
+        original = int(inverse_mappings[(tile, stack)][label])
+        branch = "/".join(str(x) for x in inst[1])
+        key = (tile, original)
+        if isinstance(metrics, (int, float, np.integer, np.floating)):
+            name = f"{branch}/{inst[1][-1]}"
+            rows.setdefault(key, {})[name] = float(metrics)
+            metric_names.add(name)
+        elif isinstance(metrics, dict):
+            for k, values in metrics.items():
+                name = branch if k == str(inst[1][-1]) else f"{branch}/{k}"
+                for value in np.asarray(values).reshape(-1):
+                    rows.setdefault(key, {})[name] = float(value)
+                    metric_names.add(name)
+        elif isinstance(metrics, (list, np.ndarray)):
+            name = f"{branch}/{inst[1][-1]}"
+            for value in np.asarray(metrics).reshape(-1):
+                rows.setdefault(key, {})[name] = float(value)
+                metric_names.add(name)
+    cols: dict = {"metadata_tile": [], "metadata_label": []}
+    names = sorted(metric_names)
+    for n in names:
+        cols[n] = []
+    for (tile, label), vals in rows.items():
+        cols["metadata_tile"].append(tile)
+        cols["metadata_label"].append(label)
+        for n in names:
+            cols[n].append(vals.get(n))
+    return pa.Table.from_pydict(cols)

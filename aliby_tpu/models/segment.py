@@ -249,6 +249,10 @@ def dispatch_segmenter(
         return _make_cellpose_segmenter(channel_to_segment, **kwargs)
     if kind == "threshold":
         return _make_threshold_segmenter(channel_to_segment, **kwargs)
+    if kind == "baby":
+        from aliby_tpu.models.baby import make_baby_segmenter
+
+        return make_baby_segmenter(channel_to_segment, **kwargs)
     if kind.startswith("nahual"):
         from aliby_tpu.net.client import make_remote_segmenter
 

@@ -1,0 +1,113 @@
+"""Benchmark: the standard profiling pipeline on real TPU hardware.
+
+Workload = the reference's example-01 configuration (SURVEY §6 correctness
+anchor): 256x256 5-channel Cell Painting fields, two segmented objects
+(nuclei + cell), intensity + sizeshape extraction and 4-way pairwise
+colocalization. Measures steady-state wall-clock per field-of-view
+timepoint (FOV-tp) across the full device path: segmentation forward +
+flow reconstruction + feature extraction.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the denominator
+is its measured-in-kind estimate documented there — a single-CPU-node
+cellpose eval (~1.0 s) + cp_measure feature pass (~1.5 s) per 256x256 FOV
+with edge measurements off, i.e. 0.4 FOV-tp/s. ``vs_baseline`` is the
+throughput ratio against that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import numpy as np
+
+BASELINE_FOV_TP_PER_S = 0.4  # see BASELINE.md / docstring
+
+
+def build_workload(n_fovs: int, size: int = 256, seed: int = 7):
+    from aliby_tpu.test_data import render_cells
+
+    rng = np.random.default_rng(seed)
+    fovs = []
+    for _ in range(n_fovs):
+        cells, nuclei, _ = render_cells(size, 24, rng)
+        noise = lambda: rng.normal(0.02, 0.01, (size, size)).astype(np.float32)
+        ring = np.clip(cells - nuclei, 0, None)
+        stack = np.stack(
+            [nuclei + noise(), ring + noise(), 0.5 * nuclei + 0.5 * cells + noise(),
+             cells + noise(), ring * 0.8 + noise()]
+        )  # (5, Y, X)
+        fovs.append(stack[None, :, None])  # (F=1, C, Z=1, Y, X)
+    return fovs
+
+
+def main():
+    import jax
+
+    from aliby_tpu.extract.extract import process_tree_masks
+    from aliby_tpu.models.segment import BUNDLED_WEIGHTS, dispatch_segmenter
+
+    devices = jax.devices()
+    platform = devices[0].platform
+    print(f"# devices: {devices}", file=sys.stderr)
+
+    use_cellpose = BUNDLED_WEIGHTS.exists()
+    if use_cellpose:
+        seg = dispatch_segmenter(
+            "cellpose", channel_to_segment=0, second_channel=3, flow_iters=100
+        )
+        seg2 = dispatch_segmenter(
+            "cellpose", channel_to_segment=3, second_channel=0, flow_iters=100
+        )
+    else:
+        seg = dispatch_segmenter("threshold", channel_to_segment=0, threshold_scale=0.5)
+        seg2 = dispatch_segmenter("threshold", channel_to_segment=3, threshold_scale=0.5)
+    print(f"# segmenter: {'cellpose' if use_cellpose else 'threshold'}", file=sys.stderr)
+
+    mono_tree = {"None": {"None": ("sizeshape",)}, 0: {"max": ["intensity"]}, 3: {"max": ["intensity"]}}
+    multi_tree = {(0, 3): {"None": {"max": ["pearson", "costes", "manders_fold", "rwc"]}}}
+    cpkw = {"intensity": {"edge_measurements": False}}
+
+    def run_fov(pixels):
+        masks_n = seg(pixels)
+        masks_c = seg2(pixels)
+        r = []
+        for masks in (masks_n, masks_c):
+            r.append(process_tree_masks(mono_tree, masks, pixels, cp_measure_kwargs=cpkw))
+            r.append(process_tree_masks(multi_tree, masks, pixels, cp_measure_kwargs=cpkw))
+        return r
+
+    warm = build_workload(1)
+    t0 = time.time()
+    run_fov(warm[0])
+    print(f"# warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    n_fovs = 8
+    fovs = build_workload(n_fovs, seed=11)
+    t0 = time.time()
+    for pixels in fovs:
+        run_fov(pixels)
+    elapsed = time.time() - t0
+    fov_tp_per_s = n_fovs / elapsed
+    print(
+        f"# {n_fovs} FOVs in {elapsed:.2f}s on {platform}", file=sys.stderr
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "fov_tp_per_s",
+                "value": round(fov_tp_per_s, 3),
+                "unit": "fov-timepoints/s (segment x2 + features, 256x256 5ch)",
+                "vs_baseline": round(fov_tp_per_s / BASELINE_FOV_TP_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

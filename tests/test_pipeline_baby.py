@@ -1,0 +1,98 @@
+"""BABY flavour: layered masks, overlap extraction, tracking/lineage parquet."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from aliby_tpu.io.dataset import DatasetZarr
+from aliby_tpu.pipe_baby import run_pipeline_and_post
+from aliby_tpu.pipe_builder_baby import build_pipeline_steps
+from aliby_tpu.test_data import get_dataset_path
+
+
+def test_baby_builder_shape():
+    p = build_pipeline_steps(
+        channels_to_segment={"cell": 0},
+        baby_address="ipc:///tmp/not_a_real_server.ipc",
+        baby_modelset="yeast-alcatras-brightfield",
+    )
+    seg = p["steps"]["segment_cell"]["segmenter_kwargs"]
+    assert seg["kind"] == "nahual_baby"
+    assert seg["address"] == "ipc:///tmp/not_a_real_server.ipc"
+    assert "extractmulti_cell" not in p["steps"]
+    assert p["passed_methods"]["segment_cell"] == ("tile", "get_fczyx")
+
+
+def test_baby_rejects_extractmulti():
+    from aliby_tpu.pipe_baby import init_step
+
+    with pytest.raises(ValueError, match="extractmulti"):
+        init_step("extractmulti_cell", {})
+
+
+@pytest.fixture(scope="module")
+def baby_run(tmp_path_factory, data_dir):
+    root = get_dataset_path("yeast_zarr")
+    position = DatasetZarr(root).get_position_ids()[0]
+    pipeline = build_pipeline_steps(
+        channels_to_segment={"cell": 1},
+        channels_to_extract=[1],
+        features_to_extract=("intensity",),
+        tile_size=None,  # mono-tile (fixture has no traps)
+        base_kind="threshold",
+        threshold_scale=0.6,
+    )
+    pipeline["steps"]["tile"]["image_kwargs"] = {
+        "source": {"key": position["key"], "path": position["path"]},
+        "capture_order": "TCZYX",
+    }
+    pipeline["steps"]["tile"]["track_drift"] = True
+    pipeline["ntps"] = 3
+    out = tmp_path_factory.mktemp("baby")
+    profiles, post = run_pipeline_and_post(
+        pipeline=pipeline,
+        pipeline_name=position["key"],
+        output_path=out,
+        overwrite=True,
+    )
+    return out, position, profiles
+
+
+def test_baby_profiles(baby_run):
+    out, position, profiles = baby_run
+    assert profiles.num_rows > 10
+    cols = profiles.column_names
+    assert "metadata_tile" in cols and "metadata_label" in cols
+    assert any("sizeshape/AreaShape_Area" in c for c in cols)
+    # labels are BABY's track-consistent globals: stable across tps
+    tps = profiles.column("metadata_tp").to_pylist()
+    labels = profiles.column("metadata_label").to_pylist()
+    per_tp = {}
+    for tp, lbl in zip(tps, labels):
+        per_tp.setdefault(tp, set()).add(lbl)
+    assert len(per_tp) == 3
+    common = per_tp[0] & per_tp[1] & per_tp[2]
+    assert len(common) >= len(per_tp[0]) * 0.6  # most cells persist
+
+
+def test_baby_tracking_parquet(baby_run):
+    out, position, _ = baby_run
+    f = out / "tracking" / f"{position['key']}_segment_cell.parquet"
+    assert f.exists()
+    table = pq.read_table(f)
+    assert set(table.column_names) == {
+        "tile", "timepoint", "cell_label", "mother_label"
+    }
+    assert set(table.column("timepoint").to_pylist()) == {0, 1, 2}
+
+
+def test_baby_npz_layout(baby_run):
+    out, position, _ = baby_run
+    seg_dir = out / "steps" / position["key"] / "segment_cell"
+    files = sorted(seg_dir.glob("*.npz"))
+    assert files
+    with np.load(files[0]) as npz:
+        assert "tile_0" in npz  # dict-result layout (write.py:25-51)
+        layered = npz["tile_0"]
+        assert layered.ndim == 3  # (n_layers, Y, X)
+    assert (seg_dir / "0000_meta.json").exists()
