@@ -125,3 +125,19 @@ def test_checkpoint_roundtrip(tmp_path):
     leaves1 = jax.tree_util.tree_leaves(restored)
     for a, b in zip(leaves0, leaves1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2)
+
+
+def test_trained_cellpose_quality():
+    """Quality gate on the bundled synthetic-trained weights."""
+    from aliby_tpu.models.segment import BUNDLED_WEIGHTS, dispatch_segmenter
+
+    if not BUNDLED_WEIGHTS.exists():
+        pytest.skip("no bundled weights")
+    seg = dispatch_segmenter("cellpose", channel_to_segment=0, second_channel=1)
+    rng = np.random.default_rng(77)
+    cells, nuclei, labels = render_cells(128, 10, rng)
+    noise = rng.normal(0, 0.03, cells.shape).astype(np.float32)
+    pixels = np.stack([cells + noise, nuclei + noise])[None][:, :, None]
+    masks = seg(pixels)
+    assert abs(int(masks[0].max()) - int(labels.max())) <= 3
+    assert _iou_matched(masks[0].astype(np.int64), labels) > 0.6
