@@ -44,11 +44,17 @@ DEFAULT_DIMORDER = "TCZYX"
 
 
 def _read_image_file(path: str | Path) -> np.ndarray:
-    """Read one image file (TIFF/PNG/...) into numpy; multipage -> leading axis."""
+    """Read one image file into numpy; native TIFF decoder first, imageio
+    fallback for everything else (and exotic TIFF variants)."""
+    if ".tif" in Path(path).suffix:
+        from aliby_tpu import native
+
+        arr = native.tiff_decode(path)
+        if arr is not None:
+            return arr
     import imageio.v3 as iio
 
-    arr = np.asarray(iio.imread(str(path)))
-    return arr
+    return np.asarray(iio.imread(str(path)))
 
 
 def _read_multipage(path: str | Path) -> np.ndarray:
