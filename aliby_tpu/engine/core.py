@@ -258,9 +258,20 @@ def run_pipeline_return_state(
     init_step_fn: Callable,
 ) -> dict:
     validate_pipeline(pipeline)
+    from aliby_tpu.engine.earlystop import EarlyStopMonitor
+
+    monitor = EarlyStopMonitor(pipeline.get("earlystop"))
     state: dict = {}
-    for _ in range(pipeline.get("ntps", 1)):
+    for tp in range(pipeline.get("ntps", 1)):
         state = pipeline_step(pipeline, state, steps_dir, init_step_fn)
+        if monitor.enabled:
+            seg_results = [
+                hist[-1]
+                for name, hist in state["data"].items()
+                if name.startswith("segment") and hist
+            ]
+            if monitor.should_stop(tp, seg_results):
+                break
     return state
 
 

@@ -209,6 +209,7 @@ def _make_cellpose_segmenter(
     channel_to_segment: int = 0,
     second_channel: int | None = None,
     three_d: bool = False,
+    stitch_threshold: float = 0.01,
     **kwargs,
 ):
     engine = CellposeTPU(
@@ -220,16 +221,45 @@ def _make_cellpose_segmenter(
         min_size=kwargs.get("min_size", 15),
     )
 
+    def _channel(pixels, channel):
+        sel = pixels[:, channel]  # (F, Z, Y, X)
+        return sel, (sel.max(axis=1) if sel.shape[1] > 1 else sel[:, 0])
+
     def segment(pixels, **_ignored):
         pixels = _drop_leading_time(np.asarray(pixels)).astype(np.float32)
-        main = pixels[:, channel_to_segment]  # (F, Z, Y, X)
-        main = main.max(axis=1) if main.shape[1] > 1 else main[:, 0]
+        main_z, main = _channel(pixels, channel_to_segment)
         if second_channel is not None:
-            sec = pixels[:, second_channel]
-            sec = sec.max(axis=1) if sec.shape[1] > 1 else sec[:, 0]
+            sec_z, sec = _channel(pixels, second_channel)
         else:
-            sec = np.zeros_like(main)
+            sec_z, sec = np.zeros_like(main_z), np.zeros_like(main)
         del _ignored
+        if three_d and main_z.shape[1] > 1:
+            # Reference 3-D semantics (segment/dispatch.py:214-247): segment
+            # each z plane, IoU-stitch labels across z (threshold 0.01),
+            # then max-project to one 2-D label map + relabel.
+            import jax.numpy as jnp
+
+            from aliby_tpu.ops.labels import relabel_sequential
+            from aliby_tpu.track.trackers import stitch_sequence
+
+            out = []
+            F, Z = main_z.shape[:2]
+            for f in range(F):
+                planes = np.stack([main_z[f], sec_z[f]], axis=1)  # (Z, 2, Y, X)
+                z_masks = engine.segment_tiles(planes)
+                stitched = np.asarray(
+                    stitch_sequence(
+                        jnp.asarray(np.stack(z_masks).astype(np.int32)),
+                        max_labels=engine.max_labels,
+                        iou_threshold=stitch_threshold,
+                    )
+                )
+                flat = stitched.max(axis=0)
+                relab, _ = relabel_sequential(
+                    jnp.asarray(flat), engine.max_labels
+                )
+                out.append(_to_uint16(np.asarray(relab)))
+            return out
         images = np.stack([main, sec], axis=1)  # (F, 2, Y, X)
         return engine.segment_tiles(images)
 
@@ -253,6 +283,10 @@ def dispatch_segmenter(
         from aliby_tpu.models.baby import make_baby_segmenter
 
         return make_baby_segmenter(channel_to_segment, **kwargs)
+    if kind in ("spots", "spotiflow"):
+        from aliby_tpu.models.spots import make_spot_segmenter
+
+        return make_spot_segmenter(channel_to_segment, **kwargs)
     if kind.startswith("nahual"):
         from aliby_tpu.net.client import make_remote_segmenter
 
