@@ -48,6 +48,15 @@ def build_workload(n_fovs: int, size: int = 256, seed: int = 7):
 def main():
     import jax
 
+    # Persistent executable cache: the axon remote compile is minutes per
+    # graph; cached second runs start in seconds.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # older flag names — not fatal
+        print(f"# cache config: {e}", file=sys.stderr)
+
     from aliby_tpu.extract.extract import process_tree_masks
     from aliby_tpu.models.segment import BUNDLED_WEIGHTS, dispatch_segmenter
 
