@@ -139,6 +139,64 @@ def _cp_family_fn(name: str):
     raise KeyError(name)
 
 
+_JITTED_FAMILIES: dict = {}
+
+
+def _jitted_family(kind: str, metric: str, max_labels: int, kw_items: tuple):
+    """One jitted, vmapped graph per (family, max_labels, kwargs).
+
+    vmap of an (internally jitted) family function executes EAGERLY op by
+    op — hundreds of dispatches and per-op compiles on remote-compile
+    backends. A cached outer jit turns each family into a single
+    executable, compiled once and persisted by the compilation cache.
+    """
+    key = (kind, metric, max_labels, kw_items)
+    if key in _JITTED_FAMILIES:
+        return _JITTED_FAMILIES[key]
+    kw = dict(kw_items)
+    if kind == "mask":
+        fn = _cp_family_fn(metric)
+        jitted = jax.jit(
+            lambda lbls: jax.vmap(
+                lambda l: fn(l, max_labels=max_labels, **kw)
+            )(lbls)
+        )
+    elif kind == "image":
+        fn = _cp_family_fn(metric)
+        jitted = jax.jit(
+            lambda lbls, imgs: jax.vmap(
+                lambda l, im: fn(l, im, max_labels=max_labels, **kw)
+            )(lbls, imgs)
+        )
+    elif kind == "mask_scalar":
+        jitted = jax.jit(
+            lambda lbls: jax.vmap(
+                lambda l: cellfuns.mask_metrics(l, max_labels)
+            )(lbls)
+        )
+    elif kind == "pixel_scalar":
+        jitted = jax.jit(
+            lambda lbls, imgs: jax.vmap(
+                lambda l, im: cellfuns.pixel_metrics(l, im, max_labels)
+            )(lbls, imgs)
+        )
+    elif kind == "trap":
+        jitted = jax.jit(
+            lambda lbls, imgs: jax.vmap(cellfuns.background_metrics)(lbls, imgs)
+        )
+    elif kind == "corr":
+        fn = features.CORRELATION_FEATURES[metric]
+        jitted = jax.jit(
+            lambda lbls, a, b: jax.vmap(
+                lambda l, x, y: fn(l, x, y, max_labels)
+            )(lbls, a, b)
+        )
+    else:
+        raise KeyError(kind)
+    _JITTED_FAMILIES[key] = jitted
+    return jitted
+
+
 def _max_labels_bucket(n: int) -> int:
     b = 8
     while b < n:
@@ -194,6 +252,16 @@ def process_tree_masks(
     # Group once per unique (ch, red_z) / (pair, red_ch, red_z)
     value_cache: dict = {}
 
+    def _fetch_dict(vals: dict) -> dict:
+        """One device->host transfer for a whole family dict.
+
+        Per-array np.asarray costs a full tunnel round-trip (~30 ms on the
+        axon relay) x ~100 feature arrays; stacking on device first makes
+        it a single readback."""
+        names = list(vals)
+        stacked = np.asarray(jnp.stack([vals[k] for k in names]))
+        return {k: stacked[i] for i, k in enumerate(names)}
+
     def reduced_image(ch, red_z):
         key = ("img", ch, red_z)
         if key not in value_cache:
@@ -213,34 +281,36 @@ def process_tree_masks(
             ch, red_z, metric = inst
             if metric in _CP_FAMILY_KIND:
                 kind = _CP_FAMILY_KIND[metric]
-                fn = _cp_family_fn(metric)
-                kw = dict(cpkw.get(metric, {}))
+                kw_items = tuple(sorted(cpkw.get(metric, {}).items()))
+                jitted = _jitted_family(kind, metric, max_labels, kw_items)
                 if kind == "mask":
-                    vals = jax.vmap(
-                        lambda lbl: fn(lbl, max_labels=max_labels, **kw)
-                    )(jnp.asarray(labels))
+                    vals = jitted(jnp.asarray(labels))
                 else:
                     img = reduced_image(ch, red_z)
-                    vals = jax.vmap(
-                        lambda lbl, im: fn(lbl, im, max_labels=max_labels, **kw)
-                    )(jnp.asarray(labels), jnp.asarray(img))
-                out = {k: np.asarray(v) for k, v in vals.items()}
+                    vals = jitted(jnp.asarray(labels), jnp.asarray(img))
+                out = _fetch_dict(vals)
             elif metric in cellfuns.MASK_METRICS:
-                vals = jax.vmap(
-                    lambda lbl: cellfuns.mask_metrics(lbl, max_labels)
-                )(jnp.asarray(labels))
-                out = ("scalar", np.asarray(vals[metric]))
+                cached = value_cache.get(("maskfam",))
+                if cached is None:
+                    jitted = _jitted_family("mask_scalar", "", max_labels, ())
+                    cached = _fetch_dict(jitted(jnp.asarray(labels)))
+                    value_cache[("maskfam",)] = cached
+                out = ("scalar", cached[metric])
             elif metric in cellfuns.PIXEL_METRICS:
-                img = reduced_image(ch, red_z)
-                vals = jax.vmap(
-                    lambda lbl, im: cellfuns.pixel_metrics(lbl, im, max_labels)
-                )(jnp.asarray(labels), jnp.asarray(img))
-                out = ("scalar", np.asarray(vals[metric]))
+                cache_key = ("pixfam", ch, red_z)
+                cached = value_cache.get(cache_key)
+                if cached is None:
+                    img = reduced_image(ch, red_z)
+                    jitted = _jitted_family("pixel_scalar", "", max_labels, ())
+                    cached = _fetch_dict(
+                        jitted(jnp.asarray(labels), jnp.asarray(img))
+                    )
+                    value_cache[cache_key] = cached
+                out = ("scalar", cached[metric])
             elif metric in cellfuns.TRAP_METRICS:
                 img = reduced_image(ch, red_z)
-                vals = jax.vmap(cellfuns.background_metrics)(
-                    jnp.asarray(labels), jnp.asarray(img)
-                )
+                jitted = _jitted_family("trap", "", max_labels, ())
+                vals = jitted(jnp.asarray(labels), jnp.asarray(img))
                 per_tile = np.asarray(vals[metric])  # (F,)
                 out = ("scalar", np.repeat(per_tile[:, None], max_labels, axis=1))
             else:
@@ -251,16 +321,17 @@ def process_tree_masks(
             p0 = reduced_image(c0, red_z)
             p1 = reduced_image(c1, red_z)
             if red_ch in ("None", None):
-                fn = features.CORRELATION_FEATURES[metric]
-                vals = jax.vmap(
-                    lambda lbl, a, b: fn(lbl, a, b, max_labels)
-                )(jnp.asarray(labels), jnp.asarray(p0), jnp.asarray(p1))
-                out = {k: np.asarray(v) for k, v in vals.items()}
+                jitted = _jitted_family("corr", metric, max_labels, ())
+                vals = jitted(
+                    jnp.asarray(labels), jnp.asarray(p0), jnp.asarray(p1)
+                )
+                out = _fetch_dict(vals)
             else:
                 combined = _combine_channels(p0, p1, red_ch)
-                vals = jax.vmap(
-                    lambda lbl, im: cellfuns.pixel_metrics(lbl, im, max_labels)
-                )(jnp.asarray(labels), jnp.asarray(np.nan_to_num(combined)))
+                jitted = _jitted_family("pixel_scalar", "", max_labels, ())
+                vals = jitted(
+                    jnp.asarray(labels), jnp.asarray(np.nan_to_num(combined))
+                )
                 out = ("scalar", np.asarray(vals[metric]))
         value_cache[inst] = out
         return out

@@ -109,9 +109,21 @@ def _bilinear(field: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray) -> jnp.ndarr
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
-def follow_flows(flows: jnp.ndarray, fg: jnp.ndarray, n_iter: int = 100) -> jnp.ndarray:
-    """Integrate pixels along (2, H, W) flows; returns final (2, H, W) positions."""
+@functools.partial(jax.jit, static_argnames=("n_iter", "n_doubling"))
+def follow_flows(
+    flows: jnp.ndarray,
+    fg: jnp.ndarray,
+    n_iter: int = 8,
+    n_doubling: int = 8,
+) -> jnp.ndarray:
+    """Integrate pixels along (2, H, W) flows; returns final (2, H, W) positions.
+
+    Hybrid scheme replacing cellpose's 200 Euler steps: a few bilinear Euler
+    steps smooth the approach, then the *successor map* (each pixel's
+    rounded one-step destination) is pointer-doubled — ``n_doubling``
+    squarings compose up to ``2**n_doubling`` further steps with one integer
+    gather each, ~40x fewer gather ops for the same basin convergence.
+    """
     _, H, W = flows.shape
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
     xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
@@ -122,6 +134,26 @@ def follow_flows(flows: jnp.ndarray, fg: jnp.ndarray, n_iter: int = 100) -> jnp.
         return (py + v[0], px + v[1]), None
 
     (py, px), _ = jax.lax.scan(step, (yy, xx), None, length=n_iter)
+
+    if n_doubling > 0:
+        # successor of each *grid pixel*: one rounded flow step
+        sy = jnp.clip(jnp.round(yy + flows[0].reshape(-1)), 0, H - 1)
+        sx = jnp.clip(jnp.round(xx + flows[1].reshape(-1)), 0, W - 1)
+        succ = (sy * W + sx).astype(jnp.int32)
+
+        def double(_, s):
+            return s[s]
+
+        succ = jax.lax.fori_loop(0, n_doubling, double, succ)
+        # chase the composed successor map from the Euler end-points
+        start = (
+            jnp.clip(jnp.round(py), 0, H - 1) * W
+            + jnp.clip(jnp.round(px), 0, W - 1)
+        ).astype(jnp.int32)
+        final = succ[start]
+        py = (final // W).astype(jnp.float32)
+        px = (final % W).astype(jnp.float32)
+
     py = jnp.where(fg.reshape(-1), py, yy)
     px = jnp.where(fg.reshape(-1), px, xx)
     return jnp.stack([py.reshape(H, W), px.reshape(H, W)])
@@ -170,7 +202,7 @@ def masks_from_flows(
     flows: jnp.ndarray,
     cellprob: jnp.ndarray,
     cellprob_threshold: float = 0.0,
-    n_iter: int = 100,
+    n_iter: int = 8,
     max_labels: int = 256,
     min_size: int = 15,
 ) -> jnp.ndarray:

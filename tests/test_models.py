@@ -71,13 +71,15 @@ def test_cellpose_forward_shapes():
     assert out.dtype == np.float32
 
 
-def test_cellpose_segmenter_untrained_runs():
-    from aliby_tpu.models.segment import dispatch_segmenter
+def test_cellpose_segmenter_untrained_runs(monkeypatch, tmp_path):
+    from aliby_tpu.models import segment as seg_mod
 
+    # hide the bundled weights so the untrained path is exercised
+    monkeypatch.setattr(seg_mod, "BUNDLED_WEIGHTS", tmp_path / "none.msgpack")
     cells, nuclei, _ = _labels(size=64)
     pixels = np.stack([cells, nuclei])[None][:, :, None]
     with pytest.warns(UserWarning, match="untrained"):
-        seg = dispatch_segmenter(
+        seg = seg_mod.dispatch_segmenter(
             "cellpose", channel_to_segment=0, flow_iters=10, max_labels=64
         )
     masks = seg(pixels)
