@@ -184,6 +184,14 @@ def _jitted_family(kind: str, metric: str, max_labels: int, kw_items: tuple):
         jitted = jax.jit(
             lambda lbls, imgs: jax.vmap(cellfuns.background_metrics)(lbls, imgs)
         )
+    elif kind == "localisation":
+        from aliby_tpu.extract import localisation
+
+        jitted = jax.jit(
+            lambda lbls, imgs: jax.vmap(
+                lambda l, im: localisation.compute(metric, l, im, max_labels)
+            )(lbls, imgs)
+        )
     elif kind == "corr":
         fn = features.CORRELATION_FEATURES[metric]
         jitted = jax.jit(
@@ -307,6 +315,13 @@ def process_tree_masks(
                     )
                     value_cache[cache_key] = cached
                 out = ("scalar", cached[metric])
+            elif metric in ("nuc_est_conv", "small_peaks_conv"):
+                img = reduced_image(ch, red_z)
+                jitted = _jitted_family("localisation", metric, max_labels, ())
+                out = (
+                    "scalar",
+                    np.asarray(jitted(jnp.asarray(labels), jnp.asarray(img))),
+                )
             elif metric in cellfuns.TRAP_METRICS:
                 img = reduced_image(ch, red_z)
                 jitted = _jitted_family("trap", "", max_labels, ())

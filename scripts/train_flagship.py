@@ -27,8 +27,13 @@ def main():
     from aliby_tpu.models.unet import init_params
 
     print("devices:", jax.devices(), flush=True)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(int(time.time()) % 2**16)
     model, params = init_params(jax.random.PRNGKey(0), in_channels=2, size=128)
+    if BUNDLED_WEIGHTS.exists() and "--fresh" not in sys.argv:
+        from aliby_tpu.models.training import load_params
+
+        params = load_params(BUNDLED_WEIGHTS, params)
+        print("resuming from bundled weights", flush=True)
     tx = optax.adamw(optax.cosine_decay_schedule(2e-3, n_steps, 0.05))
     opt_state = tx.init(params)
     step = make_train_step(model, tx)

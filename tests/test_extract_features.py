@@ -178,3 +178,36 @@ def test_background_metrics(labeled):
     bg = img[labels == 0]
     assert np.isclose(float(out["imBackground"]), np.median(bg), rtol=1e-5)
     assert np.isclose(float(out["background_max5"]), np.sort(bg)[-5:].mean(), rtol=1e-5)
+
+
+def test_localisation_features(labeled):
+    """nuc_est_conv responds to a nuclear hot-spot; small_peaks_conv runs."""
+    import jax.numpy as jnp
+
+    from aliby_tpu.extract import localisation as loc
+
+    labels, img = labeled
+    # plant a bright nuclear blob inside label 1
+    img2 = img.copy()
+    yy, xx = np.mgrid[0 : img.shape[0], 0 : img.shape[1]]
+    img2 += 500 * np.exp(-((yy - 30) ** 2 + (xx - 30) ** 2) / (2 * 3.0**2)) * (
+        labels == 1
+    )
+    v_hot = np.asarray(loc.nuc_est_conv(jnp.asarray(labels), jnp.asarray(img2), 8))
+    v_flat = np.asarray(loc.nuc_est_conv(jnp.asarray(labels), jnp.asarray(img), 8))
+    assert np.isfinite(v_hot[0]) and np.isfinite(v_flat[0])
+    assert v_hot[0] > 2 * v_flat[0]  # localisation signal detected
+    assert np.isnan(v_hot[5])  # absent labels NaN
+    sp = np.asarray(loc.small_peaks_conv(jnp.asarray(labels), jnp.asarray(img2), 8))
+    assert np.isfinite(sp[:2]).all()
+
+
+def test_localisation_through_tree(labeled):
+    from aliby_tpu.extract import process_tree_masks
+
+    labels, img = labeled
+    pixels = img[None, None, None]
+    tree = {0: {"None": ["nuc_est_conv", "small_peaks_conv"]}}
+    instructions, results = process_tree_masks(tree, [labels], pixels)
+    assert len(results) == 2 * 2  # 2 labels x 2 metrics
+    assert all(isinstance(r, float) for r in results)
