@@ -139,70 +139,106 @@ def _cp_family_fn(name: str):
     raise KeyError(name)
 
 
-_JITTED_FAMILIES: dict = {}
+_TREE_PROGRAMS: dict = {}
 
 
-def _jitted_family(kind: str, metric: str, max_labels: int, kw_items: tuple):
-    """One jitted, vmapped graph per (family, max_labels, kwargs).
+def _entry_values(entry, labels, imgs, max_labels):
+    """Evaluate one plan entry -> {name: (F, L)}. Trace-safe."""
+    kind = entry[0]
 
-    vmap of an (internally jitted) family function executes EAGERLY op by
-    op — hundreds of dispatches and per-op compiles on remote-compile
-    backends. A cached outer jit turns each family into a single
-    executable, compiled once and persisted by the compilation cache.
-    """
-    key = (kind, metric, max_labels, kw_items)
-    if key in _JITTED_FAMILIES:
-        return _JITTED_FAMILIES[key]
-    kw = dict(kw_items)
-    if kind == "mask":
+    def img2d(slot):
+        im = imgs[slot]
+        return im.max(axis=1) if im.ndim == 4 else im
+
+    if kind == "mask_family":
+        _, metric, kw_items = entry
         fn = _cp_family_fn(metric)
-        jitted = jax.jit(
-            lambda lbls: jax.vmap(
-                lambda l: fn(l, max_labels=max_labels, **kw)
-            )(lbls)
-        )
-    elif kind == "image":
+        kw = dict(kw_items)
+        return jax.vmap(lambda l: fn(l, max_labels=max_labels, **kw))(labels)
+    if kind == "image_family":
+        _, metric, kw_items, slot = entry
         fn = _cp_family_fn(metric)
-        jitted = jax.jit(
-            lambda lbls, imgs: jax.vmap(
-                lambda l, im: fn(l, im, max_labels=max_labels, **kw)
-            )(lbls, imgs)
-        )
-    elif kind == "mask_scalar":
-        jitted = jax.jit(
-            lambda lbls: jax.vmap(
-                lambda l: cellfuns.mask_metrics(l, max_labels)
-            )(lbls)
-        )
-    elif kind == "pixel_scalar":
-        jitted = jax.jit(
-            lambda lbls, imgs: jax.vmap(
-                lambda l, im: cellfuns.pixel_metrics(l, im, max_labels)
-            )(lbls, imgs)
-        )
-    elif kind == "trap":
-        jitted = jax.jit(
-            lambda lbls, imgs: jax.vmap(cellfuns.background_metrics)(lbls, imgs)
-        )
-    elif kind == "localisation":
+        kw = dict(kw_items)
+        return jax.vmap(
+            lambda l, im: fn(l, im, max_labels=max_labels, **kw)
+        )(labels, img2d(slot))
+    if kind == "mask_scalar":
+        return jax.vmap(lambda l: cellfuns.mask_metrics(l, max_labels))(labels)
+    if kind == "pixel_scalar":
+        return jax.vmap(
+            lambda l, im: cellfuns.pixel_metrics(l, im, max_labels)
+        )(labels, img2d(entry[1]))
+    if kind == "localisation":
         from aliby_tpu.extract import localisation
 
-        jitted = jax.jit(
-            lambda lbls, imgs: jax.vmap(
-                lambda l, im: localisation.compute(metric, l, im, max_labels)
-            )(lbls, imgs)
-        )
-    elif kind == "corr":
+        _, metric, slot = entry
+        v = jax.vmap(
+            lambda l, im: localisation.compute(metric, l, im, max_labels)
+        )(labels, imgs[slot])
+        return {metric: v}
+    if kind == "trap":
+        raw = jax.vmap(cellfuns.background_metrics)(labels, img2d(entry[1]))
+        return {
+            k: jnp.broadcast_to(v[:, None], (v.shape[0], max_labels))
+            for k, v in raw.items()
+        }
+    if kind == "corr":
+        _, metric, s0, s1 = entry
         fn = features.CORRELATION_FEATURES[metric]
-        jitted = jax.jit(
-            lambda lbls, a, b: jax.vmap(
-                lambda l, x, y: fn(l, x, y, max_labels)
-            )(lbls, a, b)
+        return jax.vmap(lambda l, a, b: fn(l, a, b, max_labels))(
+            labels, img2d(s0), img2d(s1)
         )
-    else:
-        raise KeyError(kind)
-    _JITTED_FAMILIES[key] = jitted
-    return jitted
+    if kind == "comb_scalar":
+        _, op, s0, s1 = entry
+        a, b = img2d(s0), img2d(s1)
+        combined = jnp.nan_to_num(a / b if op == "div" else a + b)
+        return jax.vmap(
+            lambda l, im: cellfuns.pixel_metrics(l, im, max_labels)
+        )(labels, combined)
+    raise AssertionError(kind)
+
+
+def _tree_program(plan_sig: tuple, max_labels: int):
+    """ONE jitted executable for a whole feature tree.
+
+    Per-family jit calls each cost a dispatch plus a device->host readback
+    round-trip over the tunnel; fusing every family of the tree into one
+    executable makes each extract step exactly one dispatch + one stacked
+    readback, and lets XLA share subcomputations (moments, sorts, EDTs)
+    across families.
+
+    Returns ``(names, jitted)``: ``jitted(labels, *imgs)`` yields a
+    ``(len(names), F, max_labels)`` array whose rows follow ``names``
+    (entries ``"{entry_idx}::{feature_name}"``, sorted).
+    """
+    key = (plan_sig, max_labels)
+    if key in _TREE_PROGRAMS:
+        return _TREE_PROGRAMS[key]
+
+    def collect(labels, *imgs):
+        outputs = {}
+        for idx, entry in enumerate(plan_sig):
+            for name, v in _entry_values(entry, labels, imgs, max_labels).items():
+                outputs[f"{idx}::{name}"] = v
+        return outputs
+
+    names_box: list = []
+
+    def stacked(labels, *imgs):
+        outputs = collect(labels, *imgs)
+        names = sorted(outputs)
+        if not names_box:
+            names_box.append(names)
+        return jnp.stack([outputs[n] for n in names])
+
+    jitted = jax.jit(stacked)
+
+    def run(labels, imgs):
+        arr = jitted(labels, *imgs)
+        return names_box[0], arr
+
+    _TREE_PROGRAMS[key] = run
+    return run
 
 
 def _max_labels_bucket(n: int) -> int:
@@ -253,112 +289,94 @@ def process_tree_masks(
     n_per_tile = [int(labels[f].max()) for f in range(F)]
     ind_masks = [(f, l) for f in range(F) for l in range(1, n_per_tile[f] + 1)]
     tileid_instructions = tuple(product(ind_masks, instructions))
+    if not tileid_instructions:
+        return tileid_instructions, []
 
     max_labels = _max_labels_bucket(max(n_per_tile + [1]))
     cpkw = cp_measure_kwargs or {}
 
-    # Group once per unique (ch, red_z) / (pair, red_ch, red_z)
-    value_cache: dict = {}
+    # ---- compile the tree into a plan: deduped entries + image slots ----
+    slot_of: dict = {}
 
-    def _fetch_dict(vals: dict) -> dict:
-        """One device->host transfer for a whole family dict.
+    def slot(ch, red):
+        return slot_of.setdefault((ch, red), len(slot_of))
 
-        Per-array np.asarray costs a full tunnel round-trip (~30 ms on the
-        axon relay) x ~100 feature arrays; stacking on device first makes
-        it a single readback."""
-        names = list(vals)
-        stacked = np.asarray(jnp.stack([vals[k] for k in names]))
-        return {k: stacked[i] for i, k in enumerate(names)}
+    entries: list = []
+    entry_index: dict = {}
 
-    def reduced_image(ch, red_z):
-        key = ("img", ch, red_z)
-        if key not in value_cache:
-            value_cache[key] = np.stack(
-                [
-                    _reduce_z(np.asarray(pixels[f, ch], np.float32), red_z)
-                    for f in range(F)
-                ]
-            )
-        return value_cache[key]
+    def add_entry(e: tuple) -> int:
+        if e not in entry_index:
+            entry_index[e] = len(entries)
+            entries.append(e)
+        return entry_index[e]
 
-    def family_values(inst):
-        """Returns {name: (F, max_labels) ndarray} or ("scalar", (F, max_labels))."""
-        if inst in value_cache:
-            return value_cache[inst]
+    inst_lookup: dict = {}
+    for inst in instructions:
         if len(inst) == 3:
             ch, red_z, metric = inst
             if metric in _CP_FAMILY_KIND:
                 kind = _CP_FAMILY_KIND[metric]
                 kw_items = tuple(sorted(cpkw.get(metric, {}).items()))
-                jitted = _jitted_family(kind, metric, max_labels, kw_items)
                 if kind == "mask":
-                    vals = jitted(jnp.asarray(labels))
+                    e = ("mask_family", metric, kw_items)
                 else:
-                    img = reduced_image(ch, red_z)
-                    vals = jitted(jnp.asarray(labels), jnp.asarray(img))
-                out = _fetch_dict(vals)
+                    e = ("image_family", metric, kw_items, slot(ch, red_z))
+                inst_lookup[inst] = ("dict", add_entry(e), None)
             elif metric in cellfuns.MASK_METRICS:
-                cached = value_cache.get(("maskfam",))
-                if cached is None:
-                    jitted = _jitted_family("mask_scalar", "", max_labels, ())
-                    cached = _fetch_dict(jitted(jnp.asarray(labels)))
-                    value_cache[("maskfam",)] = cached
-                out = ("scalar", cached[metric])
+                inst_lookup[inst] = ("scalar", add_entry(("mask_scalar",)), metric)
             elif metric in cellfuns.PIXEL_METRICS:
-                cache_key = ("pixfam", ch, red_z)
-                cached = value_cache.get(cache_key)
-                if cached is None:
-                    img = reduced_image(ch, red_z)
-                    jitted = _jitted_family("pixel_scalar", "", max_labels, ())
-                    cached = _fetch_dict(
-                        jitted(jnp.asarray(labels), jnp.asarray(img))
-                    )
-                    value_cache[cache_key] = cached
-                out = ("scalar", cached[metric])
+                e = ("pixel_scalar", slot(ch, red_z))
+                inst_lookup[inst] = ("scalar", add_entry(e), metric)
             elif metric in ("nuc_est_conv", "small_peaks_conv"):
-                img = reduced_image(ch, red_z)
-                jitted = _jitted_family("localisation", metric, max_labels, ())
-                out = (
-                    "scalar",
-                    np.asarray(jitted(jnp.asarray(labels), jnp.asarray(img))),
-                )
+                e = ("localisation", metric, slot(ch, red_z))
+                inst_lookup[inst] = ("scalar", add_entry(e), metric)
             elif metric in cellfuns.TRAP_METRICS:
-                img = reduced_image(ch, red_z)
-                jitted = _jitted_family("trap", "", max_labels, ())
-                vals = jitted(jnp.asarray(labels), jnp.asarray(img))
-                per_tile = np.asarray(vals[metric])  # (F,)
-                out = ("scalar", np.repeat(per_tile[:, None], max_labels, axis=1))
+                e = ("trap", slot(ch, red_z))
+                inst_lookup[inst] = ("scalar", add_entry(e), metric)
             else:
                 raise KeyError(f"Unknown metric {metric!r}")
         else:  # multi-channel: (pair, red_ch, red_z, metric)
             pair, red_ch, red_z, metric = inst
-            c0, c1 = pair
-            p0 = reduced_image(c0, red_z)
-            p1 = reduced_image(c1, red_z)
+            s0, s1 = slot(pair[0], red_z), slot(pair[1], red_z)
             if red_ch in ("None", None):
-                jitted = _jitted_family("corr", metric, max_labels, ())
-                vals = jitted(
-                    jnp.asarray(labels), jnp.asarray(p0), jnp.asarray(p1)
-                )
-                out = _fetch_dict(vals)
+                inst_lookup[inst] = ("dict", add_entry(("corr", metric, s0, s1)), None)
             else:
-                combined = _combine_channels(p0, p1, red_ch)
-                jitted = _jitted_family("pixel_scalar", "", max_labels, ())
-                vals = jitted(
-                    jnp.asarray(labels), jnp.asarray(np.nan_to_num(combined))
-                )
-                out = ("scalar", np.asarray(vals[metric]))
-        value_cache[inst] = out
-        return out
+                e = ("comb_scalar", red_ch, s0, s1)
+                inst_lookup[inst] = ("scalar", add_entry(e), metric)
+
+    # ---- host z-reductions feeding the slots ----
+    imgs = [None] * len(slot_of)
+    for (ch, red_z), si in slot_of.items():
+        imgs[si] = jnp.asarray(
+            np.stack(
+                [
+                    _reduce_z(np.asarray(pixels[f, ch], np.float32), red_z)
+                    for f in range(F)
+                ]
+            )
+        )
+
+    # ---- one dispatch + one stacked readback for the whole tree ----
+    run = _tree_program(tuple(entries), max_labels)
+    names, arr = run(jnp.asarray(labels), imgs)
+    arr = np.asarray(arr)  # (n_names, F, max_labels) — single transfer
+    table = {name: arr[i] for i, name in enumerate(names)}
+    dict_views: dict = {}
+    for name in names:
+        idx_str, feat = name.split("::", 1)
+        dict_views.setdefault(int(idx_str), {})[feat] = table[name]
 
     results = []
     for (tile_i, label), inst in tileid_instructions:
-        vals = family_values(inst)
-        if isinstance(vals, tuple) and vals[0] == "scalar":
-            results.append(float(vals[1][tile_i, label - 1]))
+        mode, entry_idx, metric = inst_lookup[inst]
+        if mode == "scalar":
+            results.append(float(dict_views[entry_idx][metric][tile_i, label - 1]))
         else:
             results.append(
-                {k: np.asarray([v[tile_i, label - 1]]) for k, v in vals.items()}
+                {
+                    k: np.asarray([v[tile_i, label - 1]])
+                    for k, v in dict_views[entry_idx].items()
+                }
             )
     return tileid_instructions, results
 
