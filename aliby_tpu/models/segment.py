@@ -171,11 +171,22 @@ class CellposeTPU:
         fi, ml, ms = int(flow_iters), int(max_labels), int(min_size)
 
         @jax.jit
-        def _forward(params, images):  # (F, H, W, 2) -> (F, H, W, 3)
-            return model.apply(params, images)
+        def _segment_all(params, images):
+            """ONE executable: normalize + forward + flow reconstruction.
 
-        @jax.jit
-        def _reconstruct(pred):  # (F, H, W, 3) -> (F, H, W) labels
+            (F, 2, H, W) raw float -> (F, H, W) int32 labels. A single
+            dispatch/readback per segmentation call (the split
+            normalize/forward/reconstruct version paid three round trips
+            and ran the normalize vmap eagerly op-by-op).
+            """
+            x = images.transpose(0, 2, 3, 1)  # NHWC
+            x = jax.vmap(
+                lambda im: jax.vmap(
+                    _normalize_percentile, in_axes=-1, out_axes=-1
+                )(im)
+            )(x)
+            pred = model.apply(params, x)
+
             def one(p):
                 flows = jnp.stack([p[..., 0], p[..., 1]]) / 5.0
                 return masks_from_flows(
@@ -189,18 +200,12 @@ class CellposeTPU:
 
             return jax.vmap(one)(pred)
 
-        self._forward = _forward
-        self._reconstruct = _reconstruct
+        self._segment_all = _segment_all
 
     def segment_tiles(self, images: np.ndarray) -> list[np.ndarray]:
         """(F, 2, Y, X) float -> list of (Y, X) uint16 label maps."""
         padded, (H, W) = _pad_to_multiple(images)
-        x = jnp.asarray(padded).transpose(0, 2, 3, 1)  # NHWC
-        x = jax.vmap(
-            lambda im: jax.vmap(_normalize_percentile, in_axes=-1, out_axes=-1)(im)
-        )(x)
-        pred = self._forward(self.params, x)
-        labels = self._reconstruct(pred)
+        labels = self._segment_all(self.params, jnp.asarray(padded))
         out = np.asarray(labels)[:, :H, :W]
         return [_to_uint16(m) for m in out]
 
