@@ -433,13 +433,13 @@ def rwc(labels, im1, im2, max_labels, thr_frac: float = 0.15) -> dict:
 
 
 @functools.partial(jax.jit, static_argnames=("max_labels", "n_steps"))
-def costes(labels, im1, im2, max_labels, n_steps: int = 16) -> dict:
+def costes(labels, im1, im2, max_labels, n_steps: int = 10) -> dict:
     """Costes colocalization with automated per-label thresholds.
 
     Bisection on the joint threshold fraction t: the Costes threshold is the
     largest t whose sub-threshold pixels (im1 < t*max1 AND im2 < t*max2) have
-    non-positive correlation. Fixed ``n_steps`` bisection, fully batched
-    over labels.
+    non-positive correlation. Fixed ``n_steps`` bisection (2^-10 threshold
+    resolution), fully batched over labels.
     """
     im1 = im1.astype(jnp.float32)
     im2 = im2.astype(jnp.float32)

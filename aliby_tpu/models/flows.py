@@ -182,7 +182,8 @@ def masks_from_sinks(
     from aliby_tpu.ops.imageops import binary_dilation
 
     seed = binary_dilation(seed, 2, connectivity=2)
-    cc = connected_components(seed, connectivity=2)
+    # seed blobs are a few pixels across: a small CC budget suffices
+    cc = connected_components(seed, connectivity=2, n_iter=8)
     basin = cc.reshape(-1)[jnp.clip(sink.reshape(-1), 0, H * W - 1)]
     labels = jnp.where(fg.reshape(-1), basin, 0).reshape(H, W)
     labels, _ = relabel_sequential(labels, max_labels)
