@@ -432,14 +432,18 @@ def rwc(labels, im1, im2, max_labels, thr_frac: float = 0.15) -> dict:
     return {"rwc": _nanpad(rwc1, present), "rwc_2": _nanpad(rwc2, present)}
 
 
-@functools.partial(jax.jit, static_argnames=("max_labels", "n_steps"))
-def costes(labels, im1, im2, max_labels, n_steps: int = 10) -> dict:
+@functools.partial(jax.jit, static_argnames=("max_labels", "n_bins"))
+def costes(labels, im1, im2, max_labels, n_bins: int = 32) -> dict:
     """Costes colocalization with automated per-label thresholds.
 
-    Bisection on the joint threshold fraction t: the Costes threshold is the
-    largest t whose sub-threshold pixels (im1 < t*max1 AND im2 < t*max2) have
-    non-positive correlation. Fixed ``n_steps`` bisection (2^-10 threshold
-    resolution), fully batched over labels.
+    The Costes threshold is the largest fraction t whose sub-threshold
+    pixels (im1 < t*max1 AND im2 < t*max2) correlate non-positively.
+    Instead of bisecting with a full-image pass per step, sufficient
+    statistics (n, s1, s2, s11, s22, s12) are scatter-added ONCE into a
+    per-label (n_bins x n_bins) joint intensity histogram; 2-D cumulative
+    sums then give the sub-threshold correlation for EVERY candidate
+    threshold simultaneously, and the answer is an argmax over the grid
+    (threshold resolution 1/n_bins of the per-label max).
     """
     im1 = im1.astype(jnp.float32)
     im2 = im2.astype(jnp.float32)
@@ -448,29 +452,41 @@ def costes(labels, im1, im2, max_labels, n_steps: int = 10) -> dict:
     fg = labels > 0
     m1max = jnp.nan_to_num(seg_max(jnp.where(fg, im1, -jnp.inf), labels, max_labels))
     m2max = jnp.nan_to_num(seg_max(jnp.where(fg, im2, -jnp.inf), labels, max_labels))
-
-    def below_corr(tfrac):
-        t1_px = (m1max * tfrac)[jnp.clip(labels - 1, 0, max_labels - 1)]
-        t2_px = (m2max * tfrac)[jnp.clip(labels - 1, 0, max_labels - 1)]
-        below = fg & (im1 < t1_px) & (im2 < t2_px)
-        corr, _, n = _per_label_pearson(
-            labels, im1, im2, max_labels, weights=below.astype(jnp.float32)
-        )
-        return jnp.where(n > 2, corr, -1.0)
-
-    lo = jnp.zeros(max_labels)
-    hi = jnp.ones(max_labels)
-
-    def body(_, state):
-        lo, hi = state
-        mid = (lo + hi) / 2
-        c = below_corr(mid)
-        # if sub-threshold correlation <= 0, threshold can grow
-        grow = c <= 0.0
-        return jnp.where(grow, mid, lo), jnp.where(grow, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, n_steps, body, (lo, hi))
-    tfrac = lo
+    l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
+    B = n_bins
+    q1 = jnp.clip(
+        (im1 / jnp.maximum(m1max[l_idx], 1e-12) * B).astype(jnp.int32), 0, B - 1
+    )
+    q2 = jnp.clip(
+        (im2 / jnp.maximum(m2max[l_idx], 1e-12) * B).astype(jnp.int32), 0, B - 1
+    )
+    flat_bin = (jnp.where(fg, labels, 0) * B * B + q1 * B + q2).reshape(-1)
+    stats = jnp.stack(
+        [jnp.ones_like(im1), im1, im2, im1 * im1, im2 * im2, im1 * im2], axis=-1
+    ).reshape(-1, 6)
+    stats = jnp.where(fg.reshape(-1)[:, None], stats, 0.0)
+    hist = jnp.zeros(((max_labels + 1) * B * B, 6), jnp.float32)
+    hist = hist.at[flat_bin].add(stats).reshape(max_labels + 1, B, B, 6)[1:]
+    # rectangle sums below each (k, k) threshold pair via 2-D cumsum
+    cum = jnp.cumsum(jnp.cumsum(hist, axis=1), axis=2)  # (L, B, B, 6)
+    diag = jnp.diagonal(cum, axis1=1, axis2=2)  # (L, 6, B)
+    n = diag[:, 0]
+    s1 = diag[:, 1]
+    s2 = diag[:, 2]
+    s11 = diag[:, 3]
+    s22 = diag[:, 4]
+    s12 = diag[:, 5]
+    safe_n = jnp.maximum(n, 1.0)
+    cov = s12 / safe_n - (s1 / safe_n) * (s2 / safe_n)
+    v1 = jnp.maximum(s11 / safe_n - (s1 / safe_n) ** 2, 0.0)
+    v2 = jnp.maximum(s22 / safe_n - (s2 / safe_n) ** 2, 0.0)
+    denom = jnp.sqrt(v1 * v2)
+    corr = (cov / jnp.maximum(denom, 1e-12)) * (denom > 1e-12)
+    corr = jnp.where(n > 2, corr, -1.0)  # (L, B) per candidate threshold k
+    # largest k whose sub-threshold correlation is <= 0
+    ks = jax.lax.broadcasted_iota(jnp.int32, corr.shape, 1)
+    best_k = jnp.max(jnp.where(corr <= 0.0, ks, -1), axis=1)
+    tfrac = (best_k + 1).astype(jnp.float32) / B
     t1_px = (m1max * tfrac)[jnp.clip(labels - 1, 0, max_labels - 1)]
     t2_px = (m2max * tfrac)[jnp.clip(labels - 1, 0, max_labels - 1)]
     sum1 = seg_sum(jnp.where(fg, im1, 0), labels, max_labels)
