@@ -215,21 +215,13 @@ def _tree_program(plan_sig: tuple, max_labels: int):
     if key in _TREE_PROGRAMS:
         return _TREE_PROGRAMS[key]
 
-    def collect(labels, *imgs):
-        outputs = {}
-        for idx, entry in enumerate(plan_sig):
-            for name, v in _entry_values(entry, labels, imgs, max_labels).items():
-                outputs[f"{idx}::{name}"] = v
-        return outputs
-
     names_box: list = []
 
     def stacked(labels, *imgs):
-        outputs = collect(labels, *imgs)
-        names = sorted(outputs)
+        names, arr = tree_collect(plan_sig, labels, imgs, max_labels)
         if not names_box:
             names_box.append(names)
-        return jnp.stack([outputs[n] for n in names])
+        return arr
 
     jitted = jax.jit(stacked)
 
@@ -253,49 +245,10 @@ def _max_labels_bucket(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _as_labeled_stack(masks) -> np.ndarray:
-    """list of (Y,X) label maps (or (F,Y,X)) -> (F, Y, X) int32."""
-    if isinstance(masks, np.ndarray) and masks.ndim == 3:
-        return masks.astype(np.int32)
-    return np.stack([np.asarray(m) for m in masks]).astype(np.int32)
-
-
-def process_tree_masks(
-    tree: dict,
-    masks,
-    pixels,
-    ncores=None,
-    cp_measure_kwargs: dict | None = None,
-    progress_bar: bool = False,
-    **kwargs,
-):
-    """Compute every (object x instruction) value for one timepoint.
-
-    Parameters mirror the reference (``extract.py:240-301``): ``masks`` is a
-    per-tile list of 2-D label maps, ``pixels`` the tile stack
-    ``(F, C, Z, Y, X)``. ``ncores`` is accepted for API compatibility and
-    ignored — parallelism is the vectorization itself.
-    """
-    del ncores, progress_bar
-    labels = _as_labeled_stack(masks)
-    pixels = np.asarray(pixels)
-    if pixels.ndim == 6:  # leading T of size 1
-        pixels = pixels[0]
-    F = labels.shape[0]
-
-    instructions = kv(flatten(tree))
-    # (tile, label) index space — dense labels assumption as in the
-    # reference (extract.py:276-281)
-    n_per_tile = [int(labels[f].max()) for f in range(F)]
-    ind_masks = [(f, l) for f in range(F) for l in range(1, n_per_tile[f] + 1)]
-    tileid_instructions = tuple(product(ind_masks, instructions))
-    if not tileid_instructions:
-        return tileid_instructions, []
-
-    max_labels = _max_labels_bucket(max(n_per_tile + [1]))
-    cpkw = cp_measure_kwargs or {}
-
-    # ---- compile the tree into a plan: deduped entries + image slots ----
+def compile_plan(instructions: list[tuple], cpkw: dict):
+    """Compile instructions into (deduped plan entries, image slots,
+    per-instruction lookup) — shared by the executor and the fused
+    whole-step program (``engine.fused``)."""
     slot_of: dict = {}
 
     def slot(ch, red):
@@ -343,6 +296,79 @@ def process_tree_masks(
             else:
                 e = ("comb_scalar", red_ch, s0, s1)
                 inst_lookup[inst] = ("scalar", add_entry(e), metric)
+    return tuple(entries), slot_of, inst_lookup
+
+
+def reduce_z_traced(img, method):
+    """Traceable z-reduction over axis 0 (device-side twin of _reduce_z)."""
+    if method is None or method == "None":
+        return img
+    m = str(method)
+    if m == "max":
+        return img.max(axis=0)
+    if m == "min":
+        return img.min(axis=0)
+    if m == "mean":
+        return img.mean(axis=0)
+    if m == "median":
+        return jnp.median(img, axis=0)
+    if m in ("add", "sum"):
+        return img.sum(axis=0)
+    raise KeyError(f"Unknown z-reduction {method!r}")
+
+
+def tree_collect(plan_sig, labels, imgs, max_labels):
+    """Traceable: evaluate every plan entry -> (names, (n, F, L) array)."""
+    outputs = {}
+    for idx, entry in enumerate(plan_sig):
+        for name, v in _entry_values(entry, labels, imgs, max_labels).items():
+            outputs[f"{idx}::{name}"] = v
+    names = sorted(outputs)
+    return names, jnp.stack([outputs[n] for n in names])
+
+
+def _as_labeled_stack(masks) -> np.ndarray:
+    """list of (Y,X) label maps (or (F,Y,X)) -> (F, Y, X) int32."""
+    if isinstance(masks, np.ndarray) and masks.ndim == 3:
+        return masks.astype(np.int32)
+    return np.stack([np.asarray(m) for m in masks]).astype(np.int32)
+
+
+def process_tree_masks(
+    tree: dict,
+    masks,
+    pixels,
+    ncores=None,
+    cp_measure_kwargs: dict | None = None,
+    progress_bar: bool = False,
+    **kwargs,
+):
+    """Compute every (object x instruction) value for one timepoint.
+
+    Parameters mirror the reference (``extract.py:240-301``): ``masks`` is a
+    per-tile list of 2-D label maps, ``pixels`` the tile stack
+    ``(F, C, Z, Y, X)``. ``ncores`` is accepted for API compatibility and
+    ignored — parallelism is the vectorization itself.
+    """
+    del ncores, progress_bar
+    labels = _as_labeled_stack(masks)
+    pixels = np.asarray(pixels)
+    if pixels.ndim == 6:  # leading T of size 1
+        pixels = pixels[0]
+    F = labels.shape[0]
+
+    instructions = kv(flatten(tree))
+    # (tile, label) index space — dense labels assumption as in the
+    # reference (extract.py:276-281)
+    n_per_tile = [int(labels[f].max()) for f in range(F)]
+    ind_masks = [(f, l) for f in range(F) for l in range(1, n_per_tile[f] + 1)]
+    tileid_instructions = tuple(product(ind_masks, instructions))
+    if not tileid_instructions:
+        return tileid_instructions, []
+
+    max_labels = _max_labels_bucket(max(n_per_tile + [1]))
+    cpkw = cp_measure_kwargs or {}
+    entries, slot_of, inst_lookup = compile_plan(instructions, cpkw)
 
     # ---- host z-reductions feeding the slots ----
     imgs = [None] * len(slot_of)

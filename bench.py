@@ -101,9 +101,44 @@ def main():
     fovs = build_workload(n_fovs, seed=11)
     batch = np.concatenate(fovs, axis=0)  # (8, C, Z, Y, X)
 
+    # Fused whole-step program: all segmenters + all trees, one executable
+    # (the deployed configuration; engine.fused).
+    fused_fn = None
+    if use_cellpose:
+        from aliby_tpu.engine.fused import (
+            FusedObject,
+            compile_fused_step,
+            results_from_fused,
+        )
+
+        fused_fn = compile_fused_step(
+            [
+                FusedObject(seg.engine, 0, 3, [(mono_tree, cpkw), (multi_tree, None)]),
+                FusedObject(seg2.engine, 3, 0, [(mono_tree, cpkw), (multi_tree, None)]),
+            ]
+        )
+
+        def run_fused(pixels):
+            out = fused_fn(pixels)
+            results = []
+            for oi in range(2):
+                for ti in range(2):
+                    results.append(
+                        results_from_fused(
+                            fused_fn.plans[oi][ti],
+                            *out["features"][oi][ti],
+                            out["labels"][oi],
+                        )
+                    )
+            return results
+
+        t0 = time.time()
+        run_fused(warm_batch)
+        print(f"# fused warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+
     # The tunnel to the chip stalls sporadically; take the best of 3 reps
     # per mode as the hardware-capability number.
-    serial, batched = 0.0, 0.0
+    serial, batched, fused = 0.0, 0.0, 0.0
     for _ in range(3):
         t0 = time.time()
         for pixels in fovs:
@@ -112,9 +147,14 @@ def main():
         t0 = time.time()
         run_fov(batch)  # production path: everything vectorizes over F
         batched = max(batched, n_fovs / (time.time() - t0))
-    fov_tp_per_s = max(serial, batched)
+        if fused_fn is not None:
+            t0 = time.time()
+            run_fused(batch)
+            fused = max(fused, n_fovs / (time.time() - t0))
+    fov_tp_per_s = max(serial, batched, fused)
     print(
-        f"# serial {serial:.3f} fov/s, batched {batched:.3f} fov/s on {platform}",
+        f"# serial {serial:.3f} / batched {batched:.3f} / fused {fused:.3f} "
+        f"fov/s on {platform}",
         file=sys.stderr,
     )
 

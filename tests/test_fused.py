@@ -1,0 +1,68 @@
+"""Fused whole-step program equals the step-by-step pipeline."""
+
+import numpy as np
+import pytest
+
+from aliby_tpu.engine.fused import FusedObject, compile_fused_step, results_from_fused
+from aliby_tpu.extract.extract import format_extraction, process_tree_masks
+from aliby_tpu.models.segment import BUNDLED_WEIGHTS, dispatch_segmenter
+from aliby_tpu.test_data import render_cells
+
+
+@pytest.mark.skipif(not BUNDLED_WEIGHTS.exists(), reason="no bundled weights")
+def test_fused_matches_stepwise():
+    rng = np.random.default_rng(13)
+    fovs = []
+    for _ in range(2):
+        cells, nuclei, _ = render_cells(96, 8, rng)
+        noise = rng.normal(0, 0.02, cells.shape).astype(np.float32)
+        fovs.append(np.stack([nuclei + noise, cells + noise])[:, None])
+    pixels = np.stack(fovs)  # (F=2, C=2, Z=1, Y, X)
+
+    mono_tree = {"None": {"None": ("sizeshape",)}, 0: {"max": ["mean", "intensity"]}}
+    multi_tree = {(0, 1): {"None": {"max": ["pearson"]}}}
+    cpkw = {"intensity": {"edge_measurements": False}}
+
+    seg = dispatch_segmenter(
+        "cellpose", channel_to_segment=0, second_channel=1, max_labels=64
+    )
+    masks = seg(pixels)
+    ref_mono = process_tree_masks(mono_tree, masks, pixels, cp_measure_kwargs=cpkw)
+    ref_multi = process_tree_masks(multi_tree, masks, pixels)
+
+    fused = compile_fused_step(
+        [
+            FusedObject(
+                seg.engine, 0, 1, [(mono_tree, cpkw), (multi_tree, None)]
+            )
+        ],
+        max_labels=64,
+    )
+    out = fused(pixels)
+    np.testing.assert_array_equal(out["labels"][0], np.stack(masks))
+
+    fused_mono = results_from_fused(
+        fused.plans[0][0], *out["features"][0][0], out["labels"][0]
+    )
+    fused_multi = results_from_fused(
+        fused.plans[0][1], *out["features"][0][1], out["labels"][0]
+    )
+    for (ref_i, ref_r), (f_i, f_r) in (
+        list(zip(zip(*ref_mono), zip(*fused_mono)))
+        + list(zip(zip(*ref_multi), zip(*fused_multi)))
+    ):
+        assert ref_i == f_i
+        if isinstance(ref_r, dict):
+            for k in ref_r:
+                np.testing.assert_allclose(
+                    ref_r[k], f_r[k], rtol=2e-4, atol=1e-5, err_msg=k
+                )
+        else:
+            assert np.isclose(ref_r, f_r, rtol=2e-4, atol=1e-5) or (
+                np.isnan(ref_r) and np.isnan(f_r)
+            )
+    # tables built from both agree
+    t_ref = format_extraction(ref_mono)
+    t_fused = format_extraction(fused_mono)
+    assert t_ref.column_names == t_fused.column_names
+    assert t_ref.num_rows == t_fused.num_rows
