@@ -10,6 +10,17 @@ your plate. On a TPU host the segmentation + extraction run on-device; set
 ``segmenter_extra_kwargs={"kind": "threshold"}`` for a model-free run.
 """
 
+# Allow running straight from a source checkout (no install).
+import sys
+from pathlib import Path
+
+if "aliby_tpu" not in sys.modules:
+    try:
+        import aliby_tpu  # noqa: F401
+    except ImportError:
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 from copy import deepcopy
 from pathlib import Path
 from tempfile import mkdtemp

@@ -12,6 +12,17 @@ U-Net's bottleneck). To serve models off-slice instead, start
 from the reference works unchanged.
 """
 
+# Allow running straight from a source checkout (no install).
+import sys
+from pathlib import Path
+
+if "aliby_tpu" not in sys.modules:
+    try:
+        import aliby_tpu  # noqa: F401
+    except ImportError:
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 from copy import deepcopy
 from pathlib import Path
 from tempfile import mkdtemp

@@ -10,6 +10,17 @@ server, pass ``baby_address="tcp://host:port"`` (or ipc://) plus
 ``baby_modelset`` to the builder — that selects step kind ``nahual_baby``.
 """
 
+# Allow running straight from a source checkout (no install).
+import sys
+from pathlib import Path
+
+if "aliby_tpu" not in sys.modules:
+    try:
+        import aliby_tpu  # noqa: F401
+    except ImportError:
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 from copy import deepcopy
 from pathlib import Path
 from tempfile import mkdtemp
