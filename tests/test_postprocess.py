@@ -92,3 +92,22 @@ def test_index_utils():
     valid, involved = validate_lineage(lineage, index)
     assert len(valid) == 1
     assert involved.all()
+
+
+def test_progress_estimation(run_dir):
+    out, pos = run_dir
+    from aliby_tpu.postprocess.progress import (
+        count_objects_per_tp,
+        get_npairs,
+        run_progress,
+    )
+
+    step_dir = out / "steps" / pos / "segment_cell"
+    counts = count_objects_per_tp(step_dir)
+    assert len(counts) == 3 and all(c > 5 for c in counts)
+    assert get_npairs(step_dir) > 0
+    report = run_progress(out, [pos, "ghost_position"])
+    assert report["positions"][pos]["done"]
+    assert report["positions"][pos]["tps_written"] == 3
+    assert not report["positions"]["ghost_position"]["done"]
+    assert report["fraction_done"] == 0.5
