@@ -1,0 +1,128 @@
+"""Opt-in compiled execution of standard pipelines.
+
+``pipeline["compiled"] = True`` asks the engine to run the per-timepoint
+compute through ONE fused device program (``engine.fused``) instead of
+step-by-step dispatch. Eligible pipelines: a ``tile`` step, local
+``cellpose`` segment steps fed by ``passed_methods`` pixels, and
+``extract*`` steps fed masks from those segmenters — i.e. exactly what
+``pipe_builder.build_pipeline_steps`` emits. Ineligible pipelines fall back
+to the interpreted step loop transparently.
+
+State layout, saves, profiles and post-processing are identical to the
+interpreted path — only the dispatch granularity changes.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+logger = logging.getLogger("aliby_tpu")
+
+
+def try_compile(pipeline: dict, tiler, init_step_fn) -> "CompiledStep | None":
+    steps = pipeline["steps"]
+    if any(name.startswith("track") for name in steps):
+        return None  # stateful per-tp tracking stays interpreted
+    seg_names = [n for n in steps if n.startswith("segment")]
+    ext_names = [n for n in steps if n.startswith("extract")]
+    if not seg_names or not ext_names:
+        return None
+    passed_methods = pipeline.get("passed_methods", {})
+    passed_data = pipeline.get("passed_data", {})
+    from aliby_tpu.engine.fused import FusedObject, compile_fused_step
+    from aliby_tpu.models.segment import dispatch_segmenter
+
+    objects = []
+    ext_of_seg: dict[str, list[str]] = {n: [] for n in seg_names}
+    try:
+        for seg_name in seg_names:
+            params = steps[seg_name]
+            kind = params.get("segmenter_kwargs", {}).get("kind", "cellpose")
+            if kind not in ("cellpose", "cellpose_tpu"):
+                return None
+            if passed_methods.get(seg_name, (None,))[0] != "tile":
+                return None
+        for ext_name in ext_names:
+            deps = dict(
+                (kwd, src) for kwd, src, *_ in passed_data.get(ext_name, ())
+            )
+            if deps.get("pixels") != "tile" or deps.get("masks") not in seg_names:
+                return None
+            ext_of_seg[deps["masks"]].append(ext_name)
+        for seg_name in seg_names:
+            params = steps[seg_name]
+            seg_kwargs = dict(params.get("segmenter_kwargs", {}))
+            seg_kwargs.pop("kind", None)
+            seg = dispatch_segmenter(
+                "cellpose",
+                channel_to_segment=params["channel_to_segment"],
+                **seg_kwargs,
+            )
+            trees = []
+            for ext_name in ext_of_seg[seg_name]:
+                spec = steps[ext_name]
+                cpkw = spec.get("kwargs", {}).get("cp_measure_kwargs")
+                trees.append((spec["tree"], cpkw))
+            objects.append(
+                FusedObject(
+                    seg.engine,
+                    params["channel_to_segment"],
+                    seg_kwargs.get("second_channel"),
+                    trees,
+                )
+            )
+        fused = compile_fused_step(objects)
+    except Exception as e:
+        logger.warning("compiled mode unavailable (%s); interpreting", e)
+        return None
+    return CompiledStep(fused, seg_names, ext_of_seg)
+
+
+class CompiledStep:
+    """Drop-in per-timepoint runner producing interpreted-identical state."""
+
+    def __init__(self, fused, seg_names, ext_of_seg):
+        self.fused = fused
+        self.seg_names = seg_names
+        self.ext_of_seg = ext_of_seg
+
+    def run_tp(self, tp: int, tiler, state: dict, pipeline: dict, steps_dir) -> None:
+        from aliby_tpu.engine.fused import results_from_fused
+        from aliby_tpu.io.write import dispatch_write_fn
+
+        tile_result = tiler.run_tp(tp)
+        pixels = tile_result.pop("pixels")
+        out = self.fused(pixels)
+        save_list = pipeline.get("save") or []
+        save_interval = pipeline.get("save_interval", 1)
+
+        def maybe_save(name, result):
+            if save_list and (tp % save_interval) == 0 and name in save_list:
+                dispatch_write_fn(name)(
+                    result, steps_dir=steps_dir, subpath=name, tp=tp
+                )
+
+        state["data"].setdefault("tile", []).append(tile_result)
+        state["tps"]["tile"] = tp + 1
+        for oi, seg_name in enumerate(self.seg_names):
+            labels = out["labels"][oi]
+            masks = [m.astype(np.uint16) for m in labels]
+            maybe_save(seg_name, masks)
+            state["data"].setdefault(seg_name, []).append(masks)
+            state["tps"][seg_name] = tp + 1
+            for ti, ext_name in enumerate(self.ext_of_seg[seg_name]):
+                res = results_from_fused(
+                    self.fused.plans[oi][ti],
+                    *out["features"][oi][ti],
+                    labels,
+                )
+                maybe_save(ext_name, res) if ext_name in save_list else None
+                state["data"].setdefault(ext_name, []).append(res)
+                state["tps"][ext_name] = tp + 1
+        # retain trimming (same semantics as the interpreted loop)
+        for step_name, history in state["data"].items():
+            keep = pipeline.get("retain", {}).get(step_name, "all")
+            if isinstance(keep, int) and keep >= 0 and len(history) > keep:
+                del history[: len(history) - keep]

@@ -262,6 +262,37 @@ def run_pipeline_return_state(
 
     monitor = EarlyStopMonitor(pipeline.get("earlystop"))
     state: dict = {}
+
+    compiled = None
+    if pipeline.get("compiled"):
+        from aliby_tpu.engine.compiled import try_compile
+        from aliby_tpu.utils.timer import StepTimer
+
+        tiler = init_step_fn("tile", pipeline["steps"]["tile"], {})
+        compiled = try_compile(pipeline, tiler, init_step_fn)
+        if compiled is not None:
+            state = {
+                "tps": {n: 0 for n in pipeline["steps"]},
+                "data": {},
+                "fn": {"tile": tiler},
+                "timer": StepTimer(),
+            }
+            import time as _time
+
+            for tp in range(pipeline.get("ntps", 1)):
+                t0 = _time.perf_counter()
+                compiled.run_tp(tp, tiler, state, pipeline, steps_dir)
+                state["timer"].add("compiled_step", _time.perf_counter() - t0)
+                if monitor.enabled:
+                    seg_results = [
+                        hist[-1]
+                        for name, hist in state["data"].items()
+                        if name.startswith("segment") and hist
+                    ]
+                    if monitor.should_stop(tp, seg_results):
+                        break
+            return state
+
     for tp in range(pipeline.get("ntps", 1)):
         state = pipeline_step(pipeline, state, steps_dir, init_step_fn)
         if monitor.enabled:

@@ -66,3 +66,56 @@ def test_fused_matches_stepwise():
     t_fused = format_extraction(fused_mono)
     assert t_ref.column_names == t_fused.column_names
     assert t_ref.num_rows == t_fused.num_rows
+
+
+@pytest.mark.skipif(not BUNDLED_WEIGHTS.exists(), reason="no bundled weights")
+def test_compiled_pipeline_matches_interpreted(tmp_path, data_dir):
+    """pipeline['compiled']=True yields the same profiles parquet."""
+    from copy import deepcopy
+
+    import pyarrow.parquet as pq
+
+    from aliby_tpu.io.dataset import DatasetDir
+    from aliby_tpu.pipe import run_pipeline_and_post
+    from aliby_tpu.pipe_builder import build_pipeline_steps
+    from aliby_tpu.test_data import get_dataset, get_dataset_path
+
+    entry = get_dataset("crop_cellpainting_256")
+    pos = DatasetDir(
+        get_dataset_path(entry["name"]),
+        regex=entry["regex"],
+        capture_order=entry["capture_order"],
+    ).get_position_ids()[0]
+    base = build_pipeline_steps(
+        channels_to_segment={"nuclei": 0},
+        channels_to_extract=[0, 3],
+        features_to_extract=("intensity",),
+        cp_measure_feature_kwargs={"intensity": {"edge_measurements": False}},
+    )
+    base["steps"]["tile"]["image_kwargs"] = {
+        "source": {"key": pos["key"], "path": pos["path"]},
+        "regex": entry["regex"],
+        "capture_order": entry["capture_order"],
+    }
+    interp = deepcopy(base)
+    comp = deepcopy(base)
+    comp["compiled"] = True
+    run_pipeline_and_post(pipeline=interp, pipeline_name="interp",
+                          output_path=tmp_path, overwrite=True)
+    run_pipeline_and_post(pipeline=comp, pipeline_name="comp",
+                          output_path=tmp_path, overwrite=True)
+    t_i = pq.read_table(tmp_path / "profiles" / "interp.parquet")
+    t_c = pq.read_table(tmp_path / "profiles" / "comp.parquet")
+    assert t_i.column_names == t_c.column_names
+    assert t_i.num_rows == t_c.num_rows
+    import numpy as np
+
+    for col in t_i.column_names:
+        if col.startswith("metadata_object"):
+            assert t_i.column(col).to_pylist() == t_c.column(col).to_pylist()
+            continue
+        a = np.asarray(t_i.column(col).to_pylist(), dtype=float)
+        b = np.asarray(t_c.column(col).to_pylist(), dtype=float)
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5, err_msg=col)
+    # per-tp masks still checkpointed in compiled mode
+    assert sorted((tmp_path / "steps" / "comp" / "segment_nuclei").glob("*.npz"))
