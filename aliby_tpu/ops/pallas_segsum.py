@@ -1,0 +1,123 @@
+"""Pallas TPU kernel: label-indexed segment sums as MXU one-hot matmuls.
+
+The feature bank's workhorse is "sum value columns per label"
+(``extract/reductions.py``). XLA lowers the scatter-add formulation to the
+TPU's (slow, serializing) scatter unit; this kernel instead materializes
+the one-hot label matrix one pixel-tile at a time in VMEM and rides the
+MXU: for each tile of P pixels,
+
+    out[L, K] += onehot[P, L].T @ values[P, K]
+
+with the accumulator living in the output block across the grid (all grid
+steps map to the same output block; revisiting is sequential on TPU so the
+read-modify-write accumulation is safe).
+
+Falls back to interpreter mode off-TPU (used by the CPU test suite).
+
+Status: validated on the v5e chip (numerics match the scatter formulation
+at f32 fidelity with HIGHEST-precision MXU passes). On this environment's
+remote-attached chip both formulations measure at the ~32 ms per-call
+dispatch floor, so the kernel is not wired into the default feature path
+yet; it becomes the drop-in replacement for ``reductions.seg_sum`` batches
+on locally-attached hardware where scatter throughput dominates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+def _kernel(labels_ref, values_ref, out_ref, *, max_labels: int):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    labels = labels_ref[:]  # (P,) int32 in VMEM
+    values = values_ref[:]  # (P, K) f32
+    ids = jax.lax.broadcasted_iota(jnp.int32, (labels.shape[0], max_labels + 1), 1)
+    onehot = (labels[:, None] == ids).astype(jnp.float32)  # (P, L+1)
+    out_ref[:] += jax.lax.dot_general(
+        onehot,
+        values,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # 3-pass bf16 = f32 fidelity
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_labels", "tile", "interpret"))
+def segment_sum_matmul(
+    values: jnp.ndarray,
+    labels: jnp.ndarray,
+    max_labels: int,
+    tile: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-label sums of K value columns: (N, K) x (N,) -> (max_labels, K).
+
+    Label 0 (background) is dropped, matching ``reductions.seg_sum``.
+    """
+    if tile % 1024:
+        raise ValueError("tile must be a multiple of 1024 (Mosaic s32 layout)")
+    flat_l = labels.reshape(-1).astype(jnp.int32)
+    vals = values.reshape(flat_l.shape[0], -1).astype(jnp.float32)
+    N, K = vals.shape
+    pad = (-N) % tile
+    if pad:
+        flat_l = jnp.pad(flat_l, (0, pad))  # padded pixels land on label 0
+        vals = jnp.pad(vals, ((0, pad), (0, 0)))
+    n_tiles = flat_l.shape[0] // tile
+    out = pl.pallas_call(
+        functools.partial(_kernel, max_labels=max_labels),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,)),
+            pl.BlockSpec((tile, K), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((max_labels + 1, K), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((max_labels + 1, K), jnp.float32),
+        interpret=interpret,
+    )(flat_l, vals)
+    return out[1:]
+
+
+def segment_sum_auto(values, labels, max_labels: int):
+    """Pallas on TPU, interpreter elsewhere (tests run on CPU)."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return segment_sum_matmul(
+        values, labels, max_labels, interpret=not on_tpu
+    )
+
+
+def benchmark(max_labels: int = 256, n: int = 8 * 256 * 256, k: int = 16, reps: int = 20):
+    """Compare against the scatter-add formulation on the current device."""
+    import time
+
+    rng = np.random.default_rng(0)
+    labels = jnp.asarray(rng.integers(0, max_labels, n, dtype=np.int32))
+    values = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+
+    @jax.jit
+    def scatter(values, labels):
+        out = jnp.zeros((max_labels + 1, values.shape[1]), jnp.float32)
+        return out.at[labels].add(values)[1:]
+
+    a = scatter(values, labels).block_until_ready()
+    b = segment_sum_auto(values, labels, max_labels).block_until_ready()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-2)
+    t0 = time.time()
+    for _ in range(reps):
+        scatter(values, labels).block_until_ready()
+    t_scatter = (time.time() - t0) / reps
+    t0 = time.time()
+    for _ in range(reps):
+        segment_sum_auto(values, labels, max_labels).block_until_ready()
+    t_pallas = (time.time() - t0) / reps
+    return {"scatter_ms": t_scatter * 1e3, "pallas_ms": t_pallas * 1e3}

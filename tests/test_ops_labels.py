@@ -69,3 +69,16 @@ def test_big_snake():
             mask[row : row + 4, 0] = True
     ours = np.asarray(L.connected_components(mask))
     assert len(np.unique(ours[mask])) == 1
+
+
+def test_pallas_segment_sum_matches_scatter():
+    """MXU one-hot matmul segment sums == scatter (interpreter on CPU)."""
+    from aliby_tpu.ops.pallas_segsum import segment_sum_auto
+
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 17, 4000).astype(np.int32)
+    values = rng.normal(size=(4000, 5)).astype(np.float32)
+    ref = np.zeros((17, 5), np.float32)
+    np.add.at(ref, labels, values)
+    out = np.asarray(segment_sum_auto(values, labels, 16))
+    np.testing.assert_allclose(out, ref[1:], rtol=1e-4, atol=1e-3)
