@@ -118,7 +118,6 @@ class CompiledStep:
                     *out["features"][oi][ti],
                     labels,
                 )
-                maybe_save(ext_name, res) if ext_name in save_list else None
                 state["data"].setdefault(ext_name, []).append(res)
                 state["tps"][ext_name] = tp + 1
         # retain trimming (same semantics as the interpreted loop)

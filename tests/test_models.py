@@ -55,7 +55,7 @@ def test_threshold_segmenter_on_synthetic():
     masks = seg(pixels)
     assert len(masks) == 1
     assert masks[0].dtype == np.uint16
-    assert _iou_matched(masks[0].astype(np.int64), labels) > 0.6
+    assert _iou_matched(masks[0].astype(np.int64), labels) > 0.75
     n_found = len(np.unique(masks[0])) - 1
     n_true = labels.max()
     assert abs(n_found - n_true) <= 2
@@ -142,4 +142,4 @@ def test_trained_cellpose_quality():
     pixels = np.stack([cells + noise, nuclei + noise])[None][:, :, None]
     masks = seg(pixels)
     assert abs(int(masks[0].max()) - int(labels.max())) <= 3
-    assert _iou_matched(masks[0].astype(np.int64), labels) > 0.6
+    assert _iou_matched(masks[0].astype(np.int64), labels) > 0.75
