@@ -104,6 +104,7 @@ class CompiledStep:
                     result, steps_dir=steps_dir, subpath=name, tp=tp
                 )
 
+        maybe_save("tile", tile_result)
         state["data"].setdefault("tile", []).append(tile_result)
         state["tps"]["tile"] = tp + 1
         for oi, seg_name in enumerate(self.seg_names):
