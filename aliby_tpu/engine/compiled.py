@@ -23,10 +23,11 @@ logger = logging.getLogger("aliby_tpu")
 
 def try_compile(pipeline: dict, tiler, init_step_fn) -> "CompiledStep | None":
     steps = pipeline["steps"]
-    if any(name.startswith("track") for name in steps):
-        return None  # stateful per-tp tracking stays interpreted
     seg_names = [n for n in steps if n.startswith("segment")]
     ext_names = [n for n in steps if n.startswith("extract")]
+    track_names = [
+        n for n in steps if n.startswith("track") and not n.startswith("track_global")
+    ]
     if not seg_names or not ext_names:
         return None
     passed_methods = pipeline.get("passed_methods", {})
@@ -51,6 +52,19 @@ def try_compile(pipeline: dict, tiler, init_step_fn) -> "CompiledStep | None":
             if deps.get("pixels") != "tile" or deps.get("masks") not in seg_names:
                 return None
             ext_of_seg[deps["masks"]].append(ext_name)
+        # per-tp trackers: host-orchestrated around the fused program
+        # (their IoU core is itself jitted)
+        trackers = {}
+        for tr_name in track_names:
+            deps = dict(
+                (kwd, src) for kwd, src, *_ in passed_data.get(tr_name, ())
+            )
+            src = deps.get("masks")
+            if src not in seg_names:
+                return None
+            from aliby_tpu.track.dispatch import dispatch_tracker
+
+            trackers[tr_name] = (src, dispatch_tracker(**steps[tr_name]))
         for seg_name in seg_names:
             params = steps[seg_name]
             seg_kwargs = dict(params.get("segmenter_kwargs", {}))
@@ -77,16 +91,17 @@ def try_compile(pipeline: dict, tiler, init_step_fn) -> "CompiledStep | None":
     except Exception as e:
         logger.warning("compiled mode unavailable (%s); interpreting", e)
         return None
-    return CompiledStep(fused, seg_names, ext_of_seg)
+    return CompiledStep(fused, seg_names, ext_of_seg, trackers)
 
 
 class CompiledStep:
     """Drop-in per-timepoint runner producing interpreted-identical state."""
 
-    def __init__(self, fused, seg_names, ext_of_seg):
+    def __init__(self, fused, seg_names, ext_of_seg, trackers=None):
         self.fused = fused
         self.seg_names = seg_names
         self.ext_of_seg = ext_of_seg
+        self.trackers = trackers or {}
 
     def run_tp(self, tp: int, tiler, state: dict, pipeline: dict, steps_dir) -> None:
         from aliby_tpu.engine.fused import results_from_fused
@@ -121,6 +136,18 @@ class CompiledStep:
                 )
                 state["data"].setdefault(ext_name, []).append(res)
                 state["tps"][ext_name] = tp + 1
+        for tr_name, (src, tracker) in self.trackers.items():
+            history = state["data"].get(src, [])
+            recent = history[-2:]
+            n_tiles = len(recent[-1])
+            tile_major = [
+                [tp_tiles[t] for tp_tiles in recent] for t in range(n_tiles)
+            ]
+            prev = state["data"].get(tr_name, [])
+            result = tracker(tile_major, state=prev[-1] if prev else None)
+            maybe_save(tr_name, result)
+            state["data"].setdefault(tr_name, []).append(result)
+            state["tps"][tr_name] = tp + 1
         # retain trimming (same semantics as the interpreted loop)
         for step_name, history in state["data"].items():
             keep = pipeline.get("retain", {}).get(step_name, "all")

@@ -74,7 +74,15 @@ def compile_fused_step(objects: Sequence[FusedObject], max_labels: int = 256):
             else:
                 sec = jnp.zeros_like(main)
             images = jnp.stack([main, sec], axis=1)  # (F, 2, Y, X)
+            # U-Net needs H/W divisible by 8 (3 pooling levels); pad + crop
+            H, W = images.shape[-2:]
+            ph, pw = (-H) % 8, (-W) % 8
+            if ph or pw:
+                images = jnp.pad(
+                    images, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="reflect"
+                )
             labels = obj.engine._segment_all(params_list[oi], images)
+            labels = labels[:, :H, :W]
             all_labels.append(labels)
             obj_feats = []
             obj_names = []

@@ -119,3 +119,48 @@ def test_compiled_pipeline_matches_interpreted(tmp_path, data_dir):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5, err_msg=col)
     # per-tp masks still checkpointed in compiled mode
     assert sorted((tmp_path / "steps" / "comp" / "segment_nuclei").glob("*.npz"))
+
+
+@pytest.mark.skipif(not BUNDLED_WEIGHTS.exists(), reason="no bundled weights")
+def test_compiled_pipeline_with_tracking(tmp_path, data_dir):
+    """Compiled mode threads per-tp stitch tracking like the interpreted loop."""
+    from aliby_tpu.io.dataset import DatasetZarr
+    from aliby_tpu.pipe import run_pipeline_and_post
+    from aliby_tpu.test_data import get_dataset_path
+
+    pos = DatasetZarr(get_dataset_path("yeast_zarr")).get_position_ids()[0]
+    pipeline = {
+        "steps": {
+            "tile": {
+                "tile_size": None,
+                "track_drift": False,
+                "image_kwargs": {
+                    "source": {"key": pos["key"], "path": pos["path"]},
+                    "capture_order": "TCZYX",
+                },
+            },
+            "segment_cell": {
+                "segmenter_kwargs": {"kind": "cellpose", "second_channel": 2},
+                "channel_to_segment": 1,
+            },
+            "track": {"kind": "stitch"},
+            "extract_cell": {
+                "tree": {"None": {"None": ["area"]}},
+                "kwargs": {},
+            },
+        },
+        "passed_data": {
+            "track": [("masks", "segment_cell")],
+            "extract_cell": [("masks", "segment_cell"), ("pixels", "tile")],
+        },
+        "passed_methods": {"segment_cell": ("tile", "get_fczyx")},
+        "save": [],
+        "save_interval": 1,
+        "retain": {"segment_cell": 2},
+        "ntps": 3,
+        "compiled": True,
+    }
+    profiles, _ = run_pipeline_and_post(
+        pipeline=pipeline, pipeline_name="ct", output_path=tmp_path, overwrite=True,
+    )
+    assert set(profiles.column("metadata_tp").to_pylist()) == {0, 1, 2}
