@@ -211,3 +211,35 @@ def test_localisation_through_tree(labeled):
     instructions, results = process_tree_masks(tree, [labels], pixels)
     assert len(results) == 2 * 2  # 2 labels x 2 metrics
     assert all(isinstance(r, float) for r in results)
+
+
+def test_min_maj_parity_with_reference_chain():
+    """Exact parity with the reference's scipy EDT-cone construction
+    (cell.py min_maj_approximation) across an ellipse grid — the analytic
+    deviation that remains (<=9%) is the reference algorithm's own integer
+    rounding, reproduced faithfully."""
+    import scipy.ndimage as ndi
+
+    from aliby_tpu.extract.cellfuns import min_maj_approximation
+
+    def ref_min_maj(cell_mask):
+        padded = np.pad(cell_mask, 1, mode="constant", constant_values=0)
+        nn = ndi.distance_transform_edt(padded == 1) * padded
+        dn = ndi.distance_transform_edt(nn - nn.max()) * padded
+        cone_top = ndi.distance_transform_edt(dn == 0) * padded
+        return np.round(np.max(nn)), np.round(np.max(dn) + np.sum(cone_top) / 2)
+
+    size = 160
+    yy, xx = np.mgrid[0:size, 0:size]
+    for a, ratio, th in [
+        (24, 0.4, 0.0), (24, 0.6, 1.1), (30, 0.4, 0.5),
+        (18, 1.0, 0.0), (20, 0.75, 0.3),
+    ]:
+        b = a * ratio
+        u = (xx - 80) * np.cos(th) + (yy - 80) * np.sin(th)
+        v = -(xx - 80) * np.sin(th) + (yy - 80) * np.cos(th)
+        mask = (((u / a) ** 2 + (v / b) ** 2) <= 1).astype(np.int32)
+        rmin, rmaj = ref_min_maj(mask)
+        mine_min, mine_maj = min_maj_approximation(mask, 8)
+        assert float(np.asarray(mine_min)[0]) == rmin, (a, ratio, th)
+        assert float(np.asarray(mine_maj)[0]) == rmaj, (a, ratio, th)
