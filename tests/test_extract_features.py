@@ -243,3 +243,40 @@ def test_min_maj_parity_with_reference_chain():
         mine_min, mine_maj = min_maj_approximation(mask, 8)
         assert float(np.asarray(mine_min)[0]) == rmin, (a, ratio, th)
         assert float(np.asarray(mine_maj)[0]) == rmaj, (a, ratio, th)
+
+
+def test_perimeter_exact_parity_with_skimage_algorithm():
+    """Bit-exact match with skimage.measure.perimeter's weighted border
+    construction (reimplemented in scipy here) on isolated ellipses."""
+    from aliby_tpu.extract.features import sizeshape as _sizeshape
+
+    def skimage_perimeter(image):
+        strel = ndi.generate_binary_structure(2, 1)
+        image = image.astype(np.uint8)
+        eroded = ndi.binary_erosion(image, strel, border_value=0)
+        border = image ^ eroded
+        w = np.zeros(50)
+        w[[5, 7, 15, 17, 25, 27]] = 1
+        w[[21, 33]] = np.sqrt(2)
+        w[[13, 23]] = (1 + np.sqrt(2)) / 2
+        pim = ndi.convolve(
+            border.astype(np.double),
+            np.array([[10, 2, 10], [2, 1, 2], [10, 2, 10]]),
+            mode="constant", cval=0,
+        )
+        return (w * np.bincount(pim.ravel().astype(int), minlength=50)).sum()
+
+    rng = np.random.default_rng(0)
+    size = 96
+    yy, xx = np.mgrid[0:size, 0:size]
+    for _ in range(4):
+        labels = np.zeros((size, size), np.int32)
+        cy, cx = rng.integers(25, 70, 2)
+        a, b = rng.uniform(8, 16, 2)
+        th = rng.uniform(0, np.pi)
+        u = (xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)
+        v = -(xx - cx) * np.sin(th) + (yy - cy) * np.cos(th)
+        labels[((u / a) ** 2 + (v / b) ** 2) <= 1] = 1
+        ref = skimage_perimeter(labels == 1)
+        mine = float(np.asarray(_sizeshape(labels, 4)["AreaShape_Perimeter"])[0])
+        assert abs(ref - mine) < 1e-3
