@@ -61,6 +61,9 @@ base_pipeline = build_pipeline_steps(
     cp_measure_feature_kwargs={"intensity": {"edge_measurements": False}},
     segmenter_extra_kwargs=segmenter,
 )
+if BUNDLED_WEIGHTS.exists():
+    # one fused device program per timepoint (engine.compiled)
+    base_pipeline["compiled"] = True
 print("Pipeline steps:", list(base_pipeline["steps"]))
 
 

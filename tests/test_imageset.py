@@ -145,3 +145,17 @@ class _Indexable:
 
     def __getitem__(self, idx):
         return self._arr[idx]
+
+
+def test_imagelist_wildcard_and_instantiate(data_dir):
+    from aliby_tpu.io.image import instantiate_image
+    from aliby_tpu.test_data import get_dataset, get_dataset_path
+
+    entry = get_dataset("crop_cellpainting_256")
+    pattern = str(get_dataset_path(entry["name"]) / "*.tif")
+    img = instantiate_image(
+        pattern, regex=entry["regex"], capture_order=entry["capture_order"]
+    )
+    assert isinstance(img, ImageList)
+    assert img.get_data_lazy().shape == (1, 5, 1, 256, 256)
+    assert len(img.image_id) == 32  # md5 hex
