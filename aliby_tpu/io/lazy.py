@@ -112,11 +112,6 @@ class LazyView:
         return result
 
 
-def as_lazy(arr) -> "LazyView | Any":
-    """Identity for lazy/numpy sources (both are indexable)."""
-    return arr
-
-
 def lazy_squeeze(arr, axis: int):
     if isinstance(arr, np.ndarray):
         return np.squeeze(arr, axis)
@@ -207,10 +202,6 @@ class FileGridArray:
             else:
                 grid_ranges.append(list(range(*i.indices(self.grid_shape[ax]))))
                 grid_is_int.append(False)
-        out_grid_shape = tuple(
-            len(r) for r, isint in zip(grid_ranges, grid_is_int) if not isint
-        )
-        # Per-file slice result shape
         sample_file_out = None
         blocks = {}
         for combo in np.ndindex(*[len(r) for r in grid_ranges]):
@@ -230,5 +221,4 @@ class FileGridArray:
         squeeze_axes = tuple(ax for ax, isint in enumerate(grid_is_int) if isint)
         for ax in sorted(squeeze_axes, reverse=True):
             out = np.squeeze(out, ax)
-        del out_grid_shape
         return out
