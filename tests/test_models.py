@@ -142,4 +142,4 @@ def test_trained_cellpose_quality():
     pixels = np.stack([cells + noise, nuclei + noise])[None][:, :, None]
     masks = seg(pixels)
     assert abs(int(masks[0].max()) - int(labels.max())) <= 3
-    assert _iou_matched(masks[0].astype(np.int64), labels) > 0.75
+    assert _iou_matched(masks[0].astype(np.int64), labels) > 0.85
