@@ -238,6 +238,14 @@ def pipeline_step(
         state["data"][step_name].append(result)
         state["tps"][step_name] = tp + 1
 
+        # Tracking/lineage metadata must survive retain-trimming (the BABY
+        # post-hook reads the FULL per-tp history; reference hooks per-tp,
+        # pipe_baby.py:94-129). Metadata is tiny — keep it all.
+        if step_name.startswith("segment") and isinstance(result, dict):
+            state.setdefault("meta_history", {}).setdefault(
+                step_name, []
+            ).append(result.get("metadata"))
+
     # Memory hygiene: tile pixels are consumed within the tp; drop them.
     for step_name, history in state["data"].items():
         if step_name.startswith("tile") and history:

@@ -72,7 +72,10 @@ def _save_baby_tracking_lineage(state, pipeline, pipeline_name, output_path) -> 
     for step_name in pipeline["steps"]:
         if not step_name.startswith("segment"):
             continue
-        per_tp_meta = [
+        # Full per-tp metadata is accumulated at step time (engine/core.py)
+        # so retain-trimming of the segment history can't truncate lineage;
+        # fall back to the (possibly trimmed) history for older states.
+        per_tp_meta = state.get("meta_history", {}).get(step_name) or [
             r.get("metadata") if isinstance(r, dict) else None
             for r in state["data"].get(step_name, [])
         ]

@@ -97,6 +97,25 @@ def _decompress(buf: bytes, compressor: dict | None, out_nbytes: int, typesize: 
         return pa.Codec("zstd").decompress(buf, decompressed_size=out_nbytes).to_pybytes()
     if cid == "blosc":
         return _decompress_blosc(buf, out_nbytes, typesize)
+    if cid == "lz4":
+        if pa is None:
+            raise RuntimeError("lz4 codec requires pyarrow")
+        return pa.Codec("lz4_raw").decompress(
+            buf, decompressed_size=out_nbytes
+        ).to_pybytes()
+    if cid in ("jpegxl", "imagecodecs_jpegxl", "jxl"):
+        # The reference registers imagecodecs' Jpegxl numcodec at import
+        # (pipe_core.py:19,34) so JXL-chunked Cell Painting stores decode
+        # transparently. We do the same when imagecodecs is importable.
+        try:
+            import imagecodecs
+        except ImportError as e:
+            raise RuntimeError(
+                "This zarr store uses JPEG-XL-compressed chunks "
+                f"(compressor id {cid!r}); decoding requires the "
+                "'imagecodecs' package, which is not installed."
+            ) from e
+        return np.ascontiguousarray(imagecodecs.jpegxl_decode(buf)).tobytes()
     raise NotImplementedError(f"zarr compressor {cid!r}")
 
 
@@ -133,7 +152,8 @@ class ZarrArray:
             self._compressor = None
             for c in codecs:
                 name = c.get("name")
-                if name in ("gzip", "zstd", "blosc"):
+                if name in ("gzip", "zstd", "blosc", "lz4", "jpegxl",
+                            "imagecodecs_jpegxl", "jxl"):
                     self._compressor = {"id": name, **c.get("configuration", {})}
                 elif name in ("bytes", "endian"):
                     endian = c.get("configuration", {}).get("endian", "little")

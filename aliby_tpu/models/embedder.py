@@ -14,6 +14,8 @@ the CropTiler's ``(F, C, Z, ts, ts)`` pixel block and returns a raw
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,16 +26,30 @@ def make_embedder(
     dim: int | None = None,
     channels: list[int] | None = None,
     seed: int = 0,
+    pretrained: str | bool = True,
     **kwargs,
 ):
     if model != "style":
         raise ValueError(f"Unknown embedder model {model!r} (in-process: 'style')")
+    from aliby_tpu.models.segment import BUNDLED_WEIGHTS
     from aliby_tpu.models.unet import CellposeNet, init_params
 
     net, params = init_params(
         jax.random.PRNGKey(seed), in_channels=2, size=64,
         **kwargs.get("model_kwargs", {}),
     )
+    # Style embeddings come from the *trained* flagship encoder by default
+    # (an untrained net is a random projection, not a deep embedding).
+    weights_path = BUNDLED_WEIGHTS if pretrained is True else pretrained
+    if pretrained is True and kwargs.get("model_kwargs"):
+        # custom architecture can't take the bundled flagship checkpoint
+        weights_path = None
+    if weights_path and Path(weights_path).exists():
+        from aliby_tpu.models.training import load_params
+
+        params = load_params(weights_path, params)
+    elif pretrained is not True and pretrained:
+        raise FileNotFoundError(f"Embedder weights not found: {pretrained}")
 
     bottleneck = net.base_features[-1]
     if dim is not None and dim != bottleneck:

@@ -36,7 +36,7 @@ def _encode(value) -> bytes:
         if isinstance(v, bytes):
             idx = len(buffers)
             buffers.append(v)
-            return {"__bytes__": idx}
+            return {"__bytes__": idx, "n": len(v)}
         if isinstance(v, dict):
             return {"__dict__": [[walk(k), walk(val)] for k, val in v.items()]}
         if isinstance(v, (list, tuple)):
@@ -65,7 +65,9 @@ def _decode(frame: bytes):
                 n = int(np.prod(node["shape"])) * np.dtype(node["dtype"]).itemsize
                 sizes.append(n)
             elif "__bytes__" in node:
-                sizes.append(-1)  # resolved later: bytes only at end? no-
+                # sized in the header since r2; -1 marks a legacy unsized
+                # blob (at most one per message, length inferred)
+                sizes.append(node.get("n", -1))
             elif "__dict__" in node:
                 for k, v in node["__dict__"]:
                     sizes_walk(k)
@@ -74,11 +76,12 @@ def _decode(frame: bytes):
                 for x in node["__list__"]:
                     sizes_walk(x)
 
-    # bytes blobs are unsized in the header; forbid mixing raw bytes with
-    # arrays unless the bytes blob is last (practical for this protocol)
     sizes_walk(header)
     if sizes.count(-1) > 1:
-        raise ValueError("at most one raw-bytes blob per message")
+        raise ValueError(
+            "at most one legacy (unsized) raw-bytes blob per message; "
+            "current senders size every blob in the header"
+        )
     known = sum(s for s in sizes if s >= 0)
     for s in sizes:
         offsets.append(offsets[-1] + (s if s >= 0 else len(body) - known))

@@ -23,6 +23,39 @@ def test_wire_codec_roundtrip():
     assert out["tup"] == (4, 5)
 
 
+def test_wire_mixed_multiblob():
+    """Multiple raw-bytes blobs interleaved with arrays round-trip exactly."""
+    payload = {
+        "a": b"first-blob",
+        "arr": np.arange(6, dtype=np.float64),
+        "b": b"",
+        "nested": [b"third\x00blob", np.ones((2, 2), np.int8)],
+    }
+    out = _decode(_encode(payload)[8:])
+    assert out["a"] == b"first-blob" and out["b"] == b""
+    assert out["nested"][0] == b"third\x00blob"
+    np.testing.assert_array_equal(out["arr"], payload["arr"])
+    np.testing.assert_array_equal(out["nested"][1], payload["nested"][1])
+
+
+def test_wire_legacy_unsized_blob():
+    """Pre-r2 frames carried one unsized blob; the decoder still accepts them."""
+    import json
+    import struct
+
+    arr = np.arange(3, dtype=np.uint8)
+    blob = b"legacy-payload"
+    header = json.dumps({"__dict__": [
+        [{"__val__": "x"}, {"__nd__": 0, "dtype": "|u1", "shape": [3]}],
+        [{"__val__": "y"}, {"__bytes__": 1}],  # no "n": unsized
+    ]}).encode()
+    body = arr.tobytes() + blob
+    frame = struct.pack("<I", len(header)) + header + body
+    out = _decode(frame)
+    np.testing.assert_array_equal(out["x"], arr)
+    assert out["y"] == blob
+
+
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
     from aliby_tpu.net.server import ModelServer

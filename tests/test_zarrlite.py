@@ -92,3 +92,69 @@ def test_blosc_memcpy_frame(tmp_path):
     (node / "0.0").write_bytes(header + payload)
     z = zarrlite.ZarrArray(node)
     np.testing.assert_array_equal(z[:], arr)
+
+
+def _write_v2_node(tmp_path, name, arr, compressor, payload):
+    node = tmp_path / name
+    node.mkdir()
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(arr.shape),
+        "dtype": arr.dtype.str,
+        "compressor": compressor,
+        "fill_value": 0,
+        "order": "C",
+        "filters": None,
+    }
+    (node / ".zarray").write_text(json.dumps(meta))
+    (node / ("0" + ".0" * (arr.ndim - 1))).write_bytes(payload)
+    return node
+
+
+def test_jpegxl_missing_imagecodecs_names_codec(tmp_path, monkeypatch):
+    """JXL chunks without imagecodecs raise a clear error naming the codec.
+
+    Mirrors the reference's unconditional Jpegxl numcodec registration
+    (reference pipe_core.py:19,34): decode when possible, never a bare
+    NotImplementedError.
+    """
+    import sys
+
+    arr = np.zeros((4, 4), np.uint16)
+    node = _write_v2_node(
+        tmp_path, "jxl", arr, {"id": "imagecodecs_jpegxl"}, b"\xff\x0a fake"
+    )
+    # None in sys.modules makes `import imagecodecs` raise ImportError
+    monkeypatch.setitem(sys.modules, "imagecodecs", None)
+    z = zarrlite.ZarrArray(node)
+    with pytest.raises(RuntimeError, match="JPEG-XL.*imagecodecs"):
+        z[:]
+
+
+def test_jpegxl_decodes_via_imagecodecs(tmp_path, monkeypatch):
+    """When imagecodecs is importable, JXL chunks decode through it."""
+    import sys
+    import types
+
+    arr = np.arange(16, dtype=np.uint16).reshape(4, 4)
+    node = _write_v2_node(
+        tmp_path, "jxl_ok", arr, {"id": "jpegxl"}, b"JXLPAYLOAD"
+    )
+    fake = types.ModuleType("imagecodecs")
+    fake.jpegxl_decode = lambda buf: arr  # stands in for the real decoder
+    monkeypatch.setitem(sys.modules, "imagecodecs", fake)
+    z = zarrlite.ZarrArray(node)
+    np.testing.assert_array_equal(z[:], arr)
+
+
+def test_lz4_top_level_compressor(tmp_path):
+    import pyarrow as pa
+
+    arr = np.arange(24, dtype="<i4").reshape(4, 6)
+    payload = pa.Codec("lz4_raw").compress(arr.tobytes())
+    if not isinstance(payload, bytes):
+        payload = payload.to_pybytes()
+    node = _write_v2_node(tmp_path, "lz4", arr, {"id": "lz4"}, payload)
+    z = zarrlite.ZarrArray(node)
+    np.testing.assert_array_equal(z[:], arr)
