@@ -2,9 +2,10 @@
 
 ``pipeline["compiled"] = True`` asks the engine to run the per-timepoint
 compute through ONE fused device program (``engine.fused``) instead of
-step-by-step dispatch. Eligible pipelines: a ``tile`` step, local
-``cellpose`` segment steps fed by ``passed_methods`` pixels, and
-``extract*`` steps fed masks from those segmenters — i.e. exactly what
+step-by-step dispatch. Eligible pipelines: a ``tile`` step (monotile or
+F>1 trap grid — the fused program batches over tiles), local ``cellpose``
+segment steps fed by ``passed_methods`` pixels, and ``extract*`` steps fed
+masks from those segmenters — i.e. exactly what
 ``pipe_builder.build_pipeline_steps`` emits. Ineligible pipelines fall back
 to the interpreted step loop transparently.
 

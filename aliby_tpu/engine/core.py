@@ -389,7 +389,14 @@ def get_profiles_from_state(state: dict, pipeline: dict) -> pa.Table:
 
 
 def _load_per_tp_masks(step_dir: Path) -> list[np.ndarray]:
-    """Read per-tp .npz checkpoints (both layouts — ``pipe_core.py:546-571``)."""
+    """Read per-tp .npz checkpoints (both layouts — ``pipe_core.py:546-571``).
+
+    Returns one ``(F, Y, X)`` array per timepoint covering EVERY tile (the
+    reference — and round 1 here — kept only tile 0, silently dropping the
+    rest of a trap grid). Layered (BABY) tiles are max-projected to 2-D,
+    which is lossless for labels (DSatur layering guarantees no per-pixel
+    overlap, reference ``segment/dispatch.py:57-60``).
+    """
     files = sorted(Path(step_dir).glob("*.npz"))
     if not files:
         raise FileNotFoundError(
@@ -400,10 +407,17 @@ def _load_per_tp_masks(step_dir: Path) -> list[np.ndarray]:
     for f in files:
         with np.load(f) as npz:
             keys = list(npz.keys())
-            if "tile_0" in keys:
-                out.append(npz["tile_0"])
+            tile_keys = sorted(
+                (k for k in keys if k.startswith("tile_")),
+                key=lambda k: int(k.split("_")[1]),
+            )
+            if tile_keys:
+                tiles = [npz[k] for k in tile_keys]
+                tiles = [t.max(axis=0) if t.ndim == 3 else t for t in tiles]
+                out.append(np.stack(tiles))
             elif keys == ["arr_0"]:
-                out.append(npz["arr_0"][0])
+                arr = npz["arr_0"]
+                out.append(arr if arr.ndim == 3 else arr[None])
             else:
                 raise ValueError(f"Unrecognised .npz layout in {f}: keys={keys}")
     return out
@@ -427,10 +441,26 @@ def get_step_output(
                 name = fetcher.removeprefix("from_disk:")
                 combined.append(_load_per_tp_masks(Path(steps_dir) / name))
             else:
-                # monotile assumption, mirrored by the disk path
-                combined.append([x[0] for x in state_data[fetcher]])
+                # in-memory per-tp entries: keep ALL tiles, mirroring the
+                # disk path's (F, Y, X) layout
+                per_tp = []
+                for x in state_data[fetcher]:
+                    if isinstance(x, dict) and "masks" in x:
+                        tiles = [np.asarray(m) for m in x["masks"]]
+                        tiles = [
+                            t.max(axis=0) if t.ndim == 3 else t for t in tiles
+                        ]
+                        per_tp.append(np.stack(tiles))
+                    elif isinstance(x, (list, tuple)):
+                        per_tp.append(np.stack([np.asarray(m) for m in x]))
+                    else:
+                        arr = np.asarray(x)
+                        per_tp.append(arr if arr.ndim == 3 else arr[None])
+                combined.append(per_tp)
         elif callable(fetcher):
-            combined.append(fetcher(state_data))
+            got = np.asarray(fetcher(state_data))
+            # normalize to the (T, F, Y, X) per-fetcher contract
+            combined.append(got[:, None] if got.ndim == 3 else got)
         else:
             raise Exception(
                 f"Invalid type, expected Callable or string, got {type(fetcher)}"

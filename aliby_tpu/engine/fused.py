@@ -3,10 +3,11 @@ executable.
 
 The dict-programmed engine runs each step as its own device call — fine on
 local hardware, but every dispatch/readback costs a tunnel round-trip on
-remote-attached chips. For monotile pipelines (the Cell Painting shape),
-this module compiles the entire per-timepoint compute — N segmenters and
-all their extraction trees — into a single jitted program: one upload of
-the pixel block, one readback of (labels + every feature value).
+remote-attached chips. This module compiles the entire per-timepoint
+compute — N segmenters and all their extraction trees, batched over the
+tile axis F (monotile Cell Painting and F>1 trap grids alike) — into a
+single jitted program: one upload of the pixel block, one readback of
+(labels + every feature value).
 
 Usage:
     step = compile_fused_step([

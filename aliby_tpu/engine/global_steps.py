@@ -25,8 +25,12 @@ def dispatch_global_step(name: str, **params):
         from aliby_tpu.track.linker import link_tracks
 
         def process(stacked, **_):
+            # get_step_output emits (n_fetchers, T, F, Y, X); tolerate bare
+            # (T, F, Y, X) / legacy (T, Y, X) from callable fetchers
             stacked = np.asarray(stacked)
-            masks_t = stacked[0] if stacked.ndim == 4 else stacked
+            if stacked.ndim == 5:
+                stacked = stacked[0]
+            masks_t = stacked  # (T, F, Y, X) or (T, Y, X) — linker handles both
             return link_tracks(masks_t, **(params.get("parameters") or {}))
 
         return process

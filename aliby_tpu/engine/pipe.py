@@ -46,16 +46,9 @@ def _init_track(step_name: str, parameters: dict, other_steps: dict) -> Callable
 
 
 def _init_track_global(step_name: str, parameters: dict) -> Callable:
-    import numpy as np
+    from aliby_tpu.engine.global_steps import dispatch_global_step
 
-    from aliby_tpu.track.linker import link_tracks
-
-    def process(stacked, **_):
-        stacked = np.asarray(stacked)
-        masks_t = stacked[0] if stacked.ndim == 4 else stacked
-        return link_tracks(masks_t, **(parameters.get("parameters") or {}))
-
-    return process
+    return dispatch_global_step("track_global", **parameters)
 
 
 def init_step(step_name: str, parameters: dict, other_steps: dict | None = None) -> Callable:

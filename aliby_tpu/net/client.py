@@ -73,8 +73,11 @@ def make_remote_global_step(model_group: str, address: str | None = None, parame
     def process(stacked, **_ignored):
         import pyarrow as pa
 
+        stacked = np.asarray(stacked)
+        if stacked.ndim == 5:  # strip get_step_output's fetcher axis
+            stacked = stacked[0]
         result = client.call(
-            "process", session=session, model=model_group, data=np.asarray(stacked)
+            "process", session=session, model=model_group, data=stacked
         )
         if isinstance(result, dict):
             return pa.Table.from_pydict(result)

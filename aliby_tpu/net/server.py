@@ -54,9 +54,8 @@ class ModelServer:
             from aliby_tpu.track.linker import link_tracks
 
             def fn(stacked, **kw):
-                stacked = np.asarray(stacked)
-                masks_t = stacked[0] if stacked.ndim == 4 else stacked
-                return link_tracks(masks_t)
+                # wire contract: (T, F, Y, X) or mono (T, Y, X)
+                return link_tracks(np.asarray(stacked))
         else:
             raise ValueError(f"unknown model group {model!r}")
         self._sessions[session_id] = {"model": model, "fn": fn}

@@ -102,9 +102,28 @@ def test_remote_global_tracking(server):
     masks = np.zeros((3, 32, 32), np.int32)
     for t in range(3):
         masks[t, 4 + t : 12 + t, 4:12] = 1
-    table = fn(masks[None])
+    table = fn(masks[None, :, None])  # (n_fetchers, T, F, Y, X)
     assert "track_id" in table.column_names
     assert len(set(table.column("track_id").to_pylist())) == 1
+
+
+def test_remote_global_tracking_multitile(server):
+    from aliby_tpu.net.client import make_remote_global_step
+
+    fn = make_remote_global_step("trackastra", address=server.address)
+    masks = np.zeros((3, 2, 32, 32), np.int32)  # (T, F, Y, X)
+    for t in range(3):
+        masks[t, 0, 4 + t : 12 + t, 4:12] = 1
+        masks[t, 1, 2:10, 2 + t : 10 + t] = 1
+        masks[t, 1, 20:28, 20:28] = 2
+    table = fn(masks)
+    tiles = table.column("tile").to_pylist()
+    tracks = table.column("track_id").to_pylist()
+    assert set(tiles) == {0, 1}
+    per_tile = {f: {tr for ti, tr in zip(tiles, tracks) if ti == f} for f in (0, 1)}
+    assert len(per_tile[0]) == 1 and len(per_tile[1]) == 2
+    # track ids unique across tiles
+    assert not (per_tile[0] & per_tile[1])
 
 
 def test_server_error_surfaces(server):
