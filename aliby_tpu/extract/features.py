@@ -29,7 +29,6 @@ from aliby_tpu.extract.reductions import (
     convex_area_from_extents,
     counts,
     directional_extents,
-    distance_to_boundary,
     ellipse_params,
     feret_diameters,
     quantile_from_sorted,
@@ -136,7 +135,11 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
     max_feret, min_feret = feret_diameters(pmax, pmin)
     convex_area = convex_area_from_extents(labels, max_labels)
     convex_area = jnp.maximum(convex_area, area)  # hull can't be smaller
-    dist = distance_to_boundary(labels)
+    # exact Euclidean per-object EDT (JFA) — the chessboard approximation
+    # biased Max/Mean/MedianRadius ~sqrt(2) on diagonals (r1 parity gap)
+    from aliby_tpu.ops.edt import edt_to_other_label
+
+    dist = jnp.where(labels > 0, edt_to_other_label(labels), 0.0)
     max_radius = seg_max(dist, labels, max_labels)
     mean_radius = seg_sum(dist, labels, max_labels) / st.safe_area
     sv, starts, cnt = sorted_by_label(dist, labels, max_labels)

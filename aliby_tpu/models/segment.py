@@ -143,23 +143,38 @@ class CellposeTPU:
         max_labels: int = 256,
         min_size: int = 15,
     ):
-        from aliby_tpu.models.unet import init_params
-
-        self.model, params = init_params(
-            jax.random.PRNGKey(0), in_channels=2, **(model_kwargs or {})
+        model_kwargs = dict(model_kwargs or {})
+        arch = model_kwargs.pop("arch", None)
+        is_torch_ckpt = pretrained_path is not None and (
+            arch == "cpnet"
+            or str(pretrained_path).endswith((".pt", ".pth"))
+            or "torch" in Path(pretrained_path).name
         )
-        path = pretrained_path or (
-            BUNDLED_WEIGHTS if BUNDLED_WEIGHTS.exists() else None
-        )
-        if path is not None:
-            from aliby_tpu.models.training import load_params
+        if is_torch_ckpt:
+            # real pretrained Cellpose: faithful CPnet graph + ported weights
+            from aliby_tpu.models.cpnet import load_cellpose_checkpoint
 
-            params = load_params(path, params)
-        else:
-            warnings.warn(
-                "CellposeTPU running with untrained weights; pass "
-                "pretrained_path or bundle weights for real masks."
+            self.model, params = load_cellpose_checkpoint(
+                pretrained_path, **model_kwargs
             )
+        else:
+            from aliby_tpu.models.unet import init_params
+
+            self.model, params = init_params(
+                jax.random.PRNGKey(0), in_channels=2, **model_kwargs
+            )
+            path = pretrained_path or (
+                BUNDLED_WEIGHTS if BUNDLED_WEIGHTS.exists() else None
+            )
+            if path is not None:
+                from aliby_tpu.models.training import load_params
+
+                params = load_params(path, params)
+            else:
+                warnings.warn(
+                    "CellposeTPU running with untrained weights; pass "
+                    "pretrained_path or bundle weights for real masks."
+                )
         self.params = params
         self.cellprob_threshold = cellprob_threshold
         self.flow_iters = flow_iters
@@ -186,6 +201,8 @@ class CellposeTPU:
                 )(im)
             )(x)
             pred = model.apply(params, x)
+            if isinstance(pred, tuple):  # CPnetFlax returns (out, style)
+                pred = pred[0]
 
             def one(p):
                 flows = jnp.stack([p[..., 0], p[..., 1]]) / 5.0

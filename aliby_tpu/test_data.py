@@ -123,6 +123,98 @@ def render_cells(
     return cells, nuclei, labels
 
 
+def render_budding_movie(
+    size: int,
+    T: int,
+    rng: np.random.Generator,
+    n_mothers: int = 5,
+    bud_max_radius: float = 6.0,
+) -> tuple[np.ndarray, np.ndarray, dict[int, int]]:
+    """Synthetic budding-yeast movie with ground-truth lineage.
+
+    Mothers are fixed rotated ellipses; each sprouts ONE bud at a random
+    tp >= 1 on its rim, attached at the bud neck and growing over time —
+    the geometry BABY-class models are trained on (reference
+    ``segment/dispatch.py:26-78``). Returns ``(frames (T, Y, X) float32,
+    labels (T, Y, X) int32 persistent ground-truth ids,
+    lineage {bud_label: mother_label})``.
+    """
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    margin = 28
+    mothers: list[dict] = []
+    label = 0
+    attempts = 0
+    while len(mothers) < n_mothers and attempts < n_mothers * 50:
+        attempts += 1
+        cy, cx = rng.uniform(margin, size - margin, 2)
+        if mothers and min(
+            np.hypot(m["cy"] - cy, m["cx"] - cx) for m in mothers
+        ) < 46:
+            continue
+        label += 1
+        mothers.append(
+            dict(
+                cy=cy, cx=cx,
+                a=rng.uniform(10, 14), b=rng.uniform(8, 12),
+                theta=rng.uniform(0, np.pi), label=label,
+            )
+        )
+    lineage: dict[int, int] = {}
+    buds = []
+    for m in mothers:
+        label += 1
+        buds.append(
+            dict(
+                mother=m,
+                tp0=int(rng.integers(1, max(2, T - 1))),
+                psi=rng.uniform(0, 2 * np.pi),
+                label=label,
+            )
+        )
+        lineage[label] = m["label"]
+
+    def _paint(frame, labels_map, cy, cx, a, b, theta, lbl, overwrite=False):
+        ct, st = np.cos(theta), np.sin(theta)
+        u = (xx - cx) * ct + (yy - cy) * st
+        v = -(xx - cx) * st + (yy - cy) * ct
+        d2 = (u / a) ** 2 + (v / b) ** 2
+        inside = d2 <= 1.0
+        np.maximum(frame, np.clip(1.2 - d2, 0, None), out=frame)
+        if overwrite:
+            labels_map[inside] = lbl
+        else:
+            labels_map[inside & (labels_map == 0)] = lbl
+
+    frames = np.zeros((T, size, size), np.float32)
+    labels = np.zeros((T, size, size), np.int32)
+    for t in range(T):
+        for m in mothers:
+            _paint(frames[t], labels[t], m["cy"], m["cx"], m["a"], m["b"],
+                   m["theta"], m["label"])
+        for bud in buds:
+            if t < bud["tp0"]:
+                continue
+            m = bud["mother"]
+            grow = min(1.0, 0.35 + 0.35 * (t - bud["tp0"]))
+            r = grow * bud_max_radius
+            # rim point of the mother ellipse at parameter psi, pushed
+            # outward so the bud touches at a neck
+            ct, st = np.cos(m["theta"]), np.sin(m["theta"])
+            px = m["a"] * np.cos(bud["psi"])
+            py = m["b"] * np.sin(bud["psi"])
+            bx = m["cx"] + px * ct - py * st
+            by = m["cy"] + px * st + py * ct
+            out_dir = np.array([by - m["cy"], bx - m["cx"]])
+            out_dir = out_dir / max(np.hypot(*out_dir), 1e-6)
+            bcy = by + out_dir[0] * r * 0.8
+            bcx = bx + out_dir[1] * r * 0.8
+            # buds overwrite the mother at the neck: they are the newer cell
+            _paint(frames[t], labels[t], bcy, bcx, r, r, 0.0, bud["label"],
+                   overwrite=True)
+        frames[t] += rng.normal(0.0, 0.02, (size, size)).astype(np.float32)
+    return frames, labels, lineage
+
+
 def _to_uint16(img: np.ndarray, rng: np.random.Generator, peak: float = 12000.0) -> np.ndarray:
     noisy = img * peak + rng.normal(200.0, 30.0, img.shape)
     return np.clip(noisy, 0, 65535).astype(np.uint16)
