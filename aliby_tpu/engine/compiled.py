@@ -104,13 +104,21 @@ class CompiledStep:
         self.ext_of_seg = ext_of_seg
         self.trackers = trackers or {}
 
-    def run_tp(self, tp: int, tiler, state: dict, pipeline: dict, steps_dir) -> None:
+    def run_tp(
+        self, tp: int, tiler, state: dict, pipeline: dict, steps_dir,
+        tile_result: dict | None = None, out: dict | None = None,
+    ) -> None:
+        """One timepoint. ``tile_result``/``out`` may be precomputed by a
+        batching caller (the mesh runner stacks many positions into one
+        sharded fused dispatch and splits the results back per position)."""
         from aliby_tpu.engine.fused import results_from_fused
         from aliby_tpu.io.write import dispatch_write_fn
 
-        tile_result = tiler.run_tp(tp)
-        pixels = tile_result.pop("pixels")
-        out = self.fused(pixels)
+        if tile_result is None:
+            tile_result = tiler.run_tp(tp)
+        pixels = tile_result.pop("pixels", None)
+        if out is None:
+            out = self.fused(pixels)
         save_list = pipeline.get("save") or []
         save_interval = pipeline.get("save_interval", 1)
 

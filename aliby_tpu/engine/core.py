@@ -553,6 +553,28 @@ def _run_pipeline_and_post_impl(
         return None, None
 
     state = run_pipeline_return_state(pipeline, steps_dir, init_step_fn)
+    return finalize_position(
+        state, pipeline, pipeline_name, output_path, init_step_fn,
+        post_state_hook=post_state_hook,
+    )
+
+
+def finalize_position(
+    state: dict,
+    pipeline: dict,
+    pipeline_name: str,
+    output_path: str | Path,
+    init_step_fn: Callable,
+    post_state_hook: Callable | None = None,
+):
+    """Profiles parquet + post hook + global steps for a completed state.
+
+    Shared by the per-position runner above and the mesh runner
+    (``parallel/pipeline_mesh.py``), which builds states for many positions
+    from batched device calls before finalizing each."""
+    output_path = Path(output_path)
+    steps_dir = output_path / "steps" / pipeline_name
+    profiles_file = output_path / "profiles" / f"{pipeline_name}.parquet"
 
     profiles = get_profiles_from_state(state, pipeline)
     profiles_file.parent.mkdir(parents=True, exist_ok=True)

@@ -103,7 +103,10 @@ def compile_fused_step(objects: Sequence[FusedObject], max_labels: int = 256):
         return all_labels, all_feats
 
     def run(pixels):
-        pixels = np.asarray(pixels, np.float32)
+        if not isinstance(pixels, jax.Array):
+            # keep device arrays as-is: the mesh runner device_puts the
+            # stacked batch with a dp-sharded layout before calling
+            pixels = np.asarray(pixels, np.float32)
         if pixels.ndim == 6:
             pixels = pixels[0]
         params_list = [obj.engine.params for obj in objects]

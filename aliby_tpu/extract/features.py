@@ -8,9 +8,11 @@ pass and returns ``{CellProfiler_feature_name: (max_labels,) array}``.
 
 Naming follows CellProfiler conventions (``Intensity_IntegratedIntensity``
 matches the reference example's column ``0/max/intensity/
-Intensity_IntegratedIntensity``, ``examples/01:160-162``). cp_measure is not
-installable in this environment, so exact key parity for the other families
-is documented best-effort against CellProfiler's measurement glossary.
+Intensity_IntegratedIntensity``, ``examples/01:160-162``). Numerical parity
+is enforced feature-by-feature against an independent scipy per-object
+oracle (``tests/test_golden_parity.py``; measured ledger in ``PARITY.md``
+incl. documented convention waivers); ``scripts/golden_parity.py`` re-runs
+the comparison against the real cp_measure wherever it is installable.
 
 Absent labels (padding rows) carry NaN; the executor filters them out.
 """
@@ -26,7 +28,7 @@ import jax.numpy as jnp
 from aliby_tpu.extract.reductions import (
     LabelStats,
     boundary_mask,
-    convex_area_from_extents,
+    convex_area_pixels,
     counts,
     directional_extents,
     ellipse_params,
@@ -60,7 +62,7 @@ def _perimeter(labels, max_labels):
     weighted with the Vossepoel–Smeulders coefficients used by
     ``skimage.measure.perimeter``.
     """
-    border = boundary_mask(labels)
+    border = boundary_mask(labels)  # 4-conn: skimage's default erosion
     b = border.astype(jnp.float32)
     l_pad = jnp.pad(labels, 1, constant_values=0)
     b_pad = jnp.pad(b, 1)
@@ -131,9 +133,12 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
     max_x = seg_max(st.xx, labels, max_labels)
     bbox_area = (max_y - min_y + 1) * (max_x - min_x + 1)
     perimeter = _perimeter(labels, max_labels)
-    pmax, pmin = directional_extents(labels, max_labels)
+    pmax, pmin = directional_extents(labels, max_labels, n_dir=360)
     max_feret, min_feret = feret_diameters(pmax, pmin)
-    convex_area = convex_area_from_extents(labels, max_labels)
+    # hull rasterization at every other direction (180 slabs) — same pixels
+    convex_area = convex_area_pixels(
+        labels, max_labels, pmax=pmax[:, ::2], pmin=pmin[:, ::2], n_dir=180
+    )
     convex_area = jnp.maximum(convex_area, area)  # hull can't be smaller
     # exact Euclidean per-object EDT (JFA) — the chessboard approximation
     # biased Max/Mean/MedianRadius ~sqrt(2) on diagonals (r1 parity gap)
@@ -188,27 +193,31 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
         for j in range(4):
             sums[(i, j)] = acc[:, i * 4 + j]
             out[f"AreaShape_SpatialMoment_{i}_{j}"] = sums[(i, j)]
+    # Central moments accumulate CENTERED, sqrt(area)-SCALED coordinates
+    # (a second (HW, 16) scatter): the binomial expansion around (cy, cx)
+    # cancels catastrophically in float32 for objects far from the origin,
+    # and O(1)-magnitude accumulands keep third-order sums conditioned.
+    # With s = sqrt(area): mu_ij = acc_ij * s^(i+j), eta_ij = acc_ij / s^2.
+    dyc, dxc = st.centered_coords()
+    s_lbl = jnp.sqrt(st.safe_area)
+    s_px = s_lbl[jnp.clip(labels - 1, 0, max_labels - 1)]
+    dyn = dyc / s_px
+    dxn = dxc / s_px
+    ypow_c = jnp.stack([dyn**i for i in range(4)])
+    xpow_c = jnp.stack([dxn**j for j in range(4)])
+    prod_c = (ypow_c[:, None] * xpow_c[None, :]).reshape(16, -1).T
+    acc_c = jnp.zeros((max_labels + 1, 16), jnp.float32)
+    acc_c = acc_c.at[labels.reshape(-1)].add(prod_c)[1:]
     mu = {}
     for i in range(4):
         for j in range(4):
-            # central moments via binomial expansion around (cy, cx)
-            acc = jnp.zeros_like(area)
-            for p in range(i + 1):
-                for q in range(j + 1):
-                    acc = acc + (
-                        math.comb(i, p)
-                        * math.comb(j, q)
-                        * (-st.cy) ** (i - p)
-                        * (-st.cx) ** (j - q)
-                        * sums[(p, q)]
-                    )
-            mu[(i, j)] = acc
-            out[f"AreaShape_CentralMoment_{i}_{j}"] = acc
+            mu[(i, j)] = acc_c[:, i * 4 + j] * s_lbl ** (i + j)
+            out[f"AreaShape_CentralMoment_{i}_{j}"] = mu[(i, j)]
     eta = {}
     for i in range(4):
         for j in range(4):
-            norm = st.safe_area ** (1.0 + (i + j) / 2.0)
-            eta[(i, j)] = mu[(i, j)] / norm
+            # eta = mu / area^(1+(i+j)/2) = acc / s^2 exactly (s=sqrt(area))
+            eta[(i, j)] = acc_c[:, i * 4 + j] / st.safe_area
             out[f"AreaShape_NormalizedMoment_{i}_{j}"] = eta[(i, j)]
     e = eta
     hu0 = e[(2, 0)] + e[(0, 2)]
@@ -230,6 +239,15 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
     )
     for idx, h in enumerate((hu0, hu1, hu2, hu3, hu4, hu5, hu6)):
         out[f"AreaShape_HuMoment_{idx}"] = h
+    # CellProfiler's MeasureObjectSizeShape also emits binary-shape Zernike
+    # magnitudes (calculate_zernikes default True) — part of the reference
+    # example's 632-column anchor
+    from aliby_tpu.extract.texture import _zernike_core
+
+    for (n, m), v in _zernike_core(
+        labels, jnp.ones_like(labels, jnp.float32), max_labels
+    ).items():
+        out[f"AreaShape_Zernike_{n}_{m}"] = v
     return {k: _nanpad(v, present) for k, v in out.items()}
 
 
@@ -271,26 +289,25 @@ def intensity(
     wcy = seg_sum(st.yy * img, labels, max_labels) / safe_total
     wcx = seg_sum(st.xx * img, labels, max_labels) / safe_total
     mass_disp = jnp.sqrt((wcy - st.cy) ** 2 + (wcx - st.cx) ** 2)
-    # location of the max-intensity pixel: argmax via composite scatter
+    # location of the max-intensity pixel: exact two-pass argmax (the value
+    # scatter-max is exact in float32; among tied maxima take the FIRST
+    # pixel in scan order, CellProfiler-like). Packing value+position into
+    # one float32 loses the position bits — r1 parity gap of 2-3 px.
     flat_l = labels.reshape(-1)
     flat_v = img.reshape(-1)
     H, W = labels.shape
     pos = jnp.arange(flat_v.size, dtype=jnp.float32)
-    # pack (value, -position) so ties take the first pixel, CellProfiler-like
-    packed = flat_v * (H * W) - pos
-    best = jnp.full(max_labels + 1, -jnp.inf, jnp.float32)
-    best = best.at[flat_l].max(packed)[1:]
-    best_pos = jnp.where(present, (-(best - jnp.ceil(best / (H * W)) * (H * W))), 0)
-    # recover position robustly: argmax by comparing packed per pixel
-    best_px = jnp.zeros(max_labels + 1, jnp.float32)
-    is_best = packed == best[jnp.clip(flat_l - 1, 0, max_labels - 1)]
-    is_best = is_best & (flat_l > 0)
-    best_px = best_px.at[jnp.where(is_best, flat_l, 0)].max(
-        jnp.where(is_best, pos, 0.0)
+    vmax_px = jnp.nan_to_num(vmax, neginf=0.0)[
+        jnp.clip(flat_l - 1, 0, max_labels - 1)
+    ]
+    is_best = (flat_v == vmax_px) & (flat_l > 0)
+    best_px = jnp.full(max_labels + 1, jnp.inf, jnp.float32)
+    best_px = best_px.at[jnp.where(is_best, flat_l, 0)].min(
+        jnp.where(is_best, pos, jnp.inf)
     )[1:]
+    best_px = jnp.where(jnp.isfinite(best_px), best_px, 0.0)
     max_y = jnp.floor(best_px / W)
     max_x = best_px - max_y * W
-    del best_pos
     out = {
         "Intensity_IntegratedIntensity": total,
         "Intensity_MeanIntensity": mean,

@@ -61,16 +61,27 @@ class LabelStats:
         self.cx = seg_sum(self.xx, labels, max_labels) / safe_area
         self.safe_area = safe_area
 
+    def centered_coords(self):
+        """(yy - cy[label], xx - cx[label]) per pixel (0 on background).
+
+        Centered accumulation is mandatory in float32: the uncentered
+        E[y^2] - cy^2 form loses ~7 digits to cancellation for objects far
+        from the origin (r1 parity gap on moments/orientation).
+        """
+        l_idx = jnp.clip(self.labels - 1, 0, self.max_labels - 1)
+        fg = self.labels > 0
+        dy = jnp.where(fg, self.yy - self.cy[l_idx], 0.0)
+        dx = jnp.where(fg, self.xx - self.cx[l_idx], 0.0)
+        return dy, dx
+
     def central_moments(self):
         """Second central moments (mu20, mu02, mu11) per label."""
         l = self.labels
         m = self.max_labels
-        sy2 = seg_sum(self.yy**2, l, m)
-        sx2 = seg_sum(self.xx**2, l, m)
-        sxy = seg_sum(self.yy * self.xx, l, m)
-        mu20 = sy2 / self.safe_area - self.cy**2
-        mu02 = sx2 / self.safe_area - self.cx**2
-        mu11 = sxy / self.safe_area - self.cy * self.cx
+        dy, dx = self.centered_coords()
+        mu20 = seg_sum(dy**2, l, m) / self.safe_area
+        mu02 = seg_sum(dx**2, l, m) / self.safe_area
+        mu11 = seg_sum(dy * dx, l, m) / self.safe_area
         return mu20, mu02, mu11
 
 
@@ -203,41 +214,52 @@ def feret_diameters(pmax, pmin):
     )
 
 
-def convex_area_from_extents(labels, max_labels, n_dir: int = 64):
-    """Convex hull area per label via the support-polygon (shoelace) formula.
+def convex_area_pixels(labels, max_labels, pmax=None, pmin=None, n_dir: int = 180):
+    """Convex hull area per label in the PIXEL-COUNT convention
+    (skimage ``convex_image``.sum(), the cp_measure/CellProfiler quantity).
 
-    Uses 2K directions over the full turn; the circumscribed polygon from K
-    support lines converges to the true hull area as K grows (error
-    O(1/K^2)); pixel centers are inflated by half a pixel to approximate
-    pixelated hull areas.
+    The hull of pixel centers is the intersection of K support slabs
+    ``pmin[l,k] <= <p, d_k> <= pmax[l,k]``; a pixel belongs to label l's
+    convex image iff it satisfies every slab. Membership is evaluated for
+    ALL (pixel, label) pairs by a fori over the K directions carrying the
+    (HW, L) max-violation — one (HW, 2)x(2, K) projection matmul feeds it.
+    Exact up to the O(1/K^2) circumscription sliver (K=180 admits no extra
+    lattice points for cell-sized objects in practice).
     """
     H, W = labels.shape
-    K = 2 * n_dir
-    theta = jnp.arange(K) * (2 * jnp.pi / K)
+    theta = jnp.arange(n_dir) * (jnp.pi / n_dir)
     dirs = jnp.stack([jnp.cos(theta), jnp.sin(theta)])  # (2, K)
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
     xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
-    pts = jnp.stack([yy, xx], axis=1)
+    pts = jnp.stack([yy, xx], axis=1)  # (HW, 2)
     proj = pts @ dirs  # (HW, K)
-    flat_l = labels.reshape(-1)
-    h = jnp.full((max_labels + 1, K), -jnp.inf, jnp.float32)
-    h = h.at[flat_l].max(proj)[1:] + 0.5  # support values, half-pixel inflate
-    # Vertices of the circumscribed polygon: intersection of support lines
-    # k and k+1. With unit normals n_k, the vertex is solve of
-    # [n_k; n_{k+1}] v = [h_k; h_{k+1}].
-    nk = dirs.T  # (K, 2)
-    nk1 = jnp.roll(nk, -1, axis=0)
-    hk = h
-    hk1 = jnp.roll(h, -1, axis=1)
-    det = nk[:, 0] * nk1[:, 1] - nk[:, 1] * nk1[:, 0]  # (K,)
-    vy = (hk * nk1[None, :, 1] - hk1 * nk[None, :, 1]) / det[None, :]
-    vx = (hk1 * nk[None, :, 0] - hk * nk1[None, :, 0]) / det[None, :]
-    # Shoelace over vertices
-    vy1 = jnp.roll(vy, -1, axis=1)
-    vx1 = jnp.roll(vx, -1, axis=1)
-    area = 0.5 * jnp.abs(jnp.sum(vy * vx1 - vy1 * vx, axis=1))
-    valid = jnp.isfinite(h).all(axis=1)
+    if pmax is None or pmin is None:
+        flat_l = labels.reshape(-1)
+        pmax = jnp.full((max_labels + 1, n_dir), -jnp.inf, jnp.float32)
+        pmax = pmax.at[flat_l].max(proj)[1:]
+        pmin = jnp.full((max_labels + 1, n_dir), jnp.inf, jnp.float32)
+        pmin = pmin.at[flat_l].min(proj)[1:]
+    eps = 1e-3
+
+    def body(k, viol):
+        pk = proj[:, k]  # (HW,)
+        over = pk[:, None] - pmax[None, :, k]  # (HW, L)
+        under = pmin[None, :, k] - pk[:, None]
+        return jnp.maximum(viol, jnp.maximum(over, under))
+
+    viol = jax.lax.fori_loop(
+        0, n_dir, body, jnp.full((pts.shape[0], max_labels), -jnp.inf)
+    )
+    inside = viol <= eps  # (HW, L)
+    area = inside.sum(axis=0).astype(jnp.float32)
+    valid = jnp.isfinite(pmax).all(axis=1)
     return jnp.where(valid, area, jnp.nan)
+
+
+# backwards-compatible alias (previous releases exposed the support-polygon
+# approximation under this name)
+def convex_area_from_extents(labels, max_labels, n_dir: int = 180):
+    return convex_area_pixels(labels, max_labels, n_dir=n_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -245,16 +267,21 @@ def convex_area_from_extents(labels, max_labels, n_dir: int = 64):
 # ---------------------------------------------------------------------------
 
 
-def boundary_mask(labels: jnp.ndarray) -> jnp.ndarray:
-    """Pixels whose 4-neighborhood leaves their label (object outlines)."""
+def boundary_mask(labels: jnp.ndarray, connectivity: int = 4) -> jnp.ndarray:
+    """Pixels whose neighborhood leaves their label (object outlines).
+
+    ``connectivity=4`` is the CellProfiler/centrosome outline convention
+    (edge-intensity features); ``connectivity=8`` is the skimage
+    ``perimeter`` border (m & ~erosion(m, 3x3)).
+    """
     pad = jnp.pad(labels, 1, constant_values=0)
-    up = pad[:-2, 1:-1]
-    down = pad[2:, 1:-1]
-    left = pad[1:-1, :-2]
-    right = pad[1:-1, 2:]
-    diff = (
-        (labels != up) | (labels != down) | (labels != left) | (labels != right)
-    )
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 8:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    diff = jnp.zeros(labels.shape, bool)
+    for dy, dx in offs:
+        nb = pad[1 + dy : pad.shape[0] - 1 + dy, 1 + dx : pad.shape[1] - 1 + dx]
+        diff = diff | (labels != nb)
     return diff & (labels > 0)
 
 

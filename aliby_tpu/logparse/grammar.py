@@ -28,6 +28,9 @@ _CASTERS = {
 }
 
 
+_TABLE_END = object()  # short-row table terminator sentinel
+
+
 def _cast(value: str, kind: str):
     try:
         return _CASTERS.get(kind, str)(value.strip())
@@ -90,6 +93,11 @@ class GrammarParser:
                 table_header = self._table_line(
                     active, spec, line, table_header, output
                 )
+                if table_header is _TABLE_END:  # short row: section over
+                    # (reference legacy parser rule, logfile_parser_legacy
+                    # .py:179 — a row narrower than the header terminates
+                    # the table and is dropped)
+                    active, table_header = None, None
             elif stype in ("list", "lists"):
                 kind = spec.get("map", "float")
                 values = [
@@ -151,6 +159,8 @@ class GrammarParser:
         if isinstance(cmap, dict):
             if header is None and spec.get("has_header", True):
                 return cells  # this line is the header
+            if header is not None and len(cells) < len(header):
+                return _TABLE_END
             default = spec.get("default_map", "str")
             row = {}
             for i, cell in enumerate(cells):

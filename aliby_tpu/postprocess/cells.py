@@ -82,7 +82,147 @@ class Cells:
             for m in self.masks_at_time(tp)
         ]
 
+    # -- time-range and per-cell queries (reference cells.py:154-295) -------
+
+    def at_time(self, tp: int, kind: str = "mask") -> dict[int, list[np.ndarray]]:
+        """{tile: [per-cell binary masks]} at one timepoint.
+
+        ``kind='mask'`` gives filled masks, ``'edgemask'`` outlines.
+        """
+        from aliby_tpu.extract.reductions import boundary_mask
+
+        out: dict[int, list[np.ndarray]] = {}
+        for tile_i, m in enumerate(self.masks_at_time(tp)):
+            cells = []
+            for lbl in np.unique(m):
+                if not lbl:
+                    continue
+                filled = m == lbl
+                if kind == "edgemask":
+                    lab = np.where(filled, 1, 0).astype(np.int32)
+                    cells.append(np.asarray(boundary_mask(lab)))
+                else:
+                    cells.append(filled)
+            out[tile_i] = cells
+        return out
+
+    def at_times(self, timepoints, kind: str = "mask") -> list[list[np.ndarray]]:
+        """Per-tp list of per-tile stacked cell masks (reference at_times)."""
+        return [
+            [
+                np.stack(tile_masks) if len(tile_masks) else []
+                for tile_masks in self.at_time(tp, kind=kind).values()
+            ]
+            for tp in timepoints
+        ]
+
+    def where(self, cell_label: int, tile: int):
+        """(timepoints, per-tp boolean masks) where the cell appears."""
+        tps, masks = [], []
+        for tp in range(self.ntimepoints):
+            m = self.masks_at_time(tp)
+            if tile < len(m) and (m[tile] == cell_label).any():
+                tps.append(tp)
+                masks.append(m[tile] == cell_label)
+        return np.asarray(tps), np.asarray(masks)
+
+    def mask(self, cell_label: int, tile: int):
+        return self.where(cell_label, tile)
+
+    def outline(self, cell_label: int, tile: int):
+        from aliby_tpu.extract.reductions import boundary_mask
+
+        tps, masks = self.where(cell_label, tile)
+        outlines = [
+            np.asarray(boundary_mask(np.where(m, 1, 0).astype(np.int32)))
+            for m in masks
+        ]
+        return tps, np.asarray(outlines)
+
+    def cell_labels_in_trap(self, tile: int) -> set:
+        labels = self.labels
+        return set(labels[tile]) if tile < len(labels) else set()
+
+    def nonempty_tp_in_trap(self, tile: int) -> set:
+        return {
+            tp
+            for tp in range(self.ntimepoints)
+            if self.labels_at_time(tp).get(tile)
+        }
+
+    @property
+    def ntraps(self) -> int:
+        return len(self.masks_at_time(0)) if self.ntimepoints else 0
+
+    @property
+    def max_labels(self) -> list[int]:
+        return [max(l) if l else 0 for l in self.labels]
+
+    @property
+    def max_label(self) -> int:
+        return max(self.max_labels, default=0)
+
+    # -- presence matrices + sliding-window retention ------------------------
+
+    @property
+    def cells_vs_tps(self) -> np.ndarray:
+        """(total_cells, T) bool presence, cells ordered tile-major."""
+        labels = self.labels
+        ntps = self.ntimepoints
+        index = {}
+        for tile_i, tile_labels in enumerate(labels):
+            for lbl in tile_labels:
+                index[(tile_i, lbl)] = len(index)
+        out = np.zeros((len(index), ntps), bool)
+        for tp in range(ntps):
+            for tile_i, tile_labels in self.labels_at_time(tp).items():
+                for lbl in tile_labels:
+                    out[index[(tile_i, lbl)], tp] = True
+        return out
+
+    @property
+    def tiles_vs_cells_vs_tps(self) -> np.ndarray:
+        """(ntraps, max_label, T) bool presence (reference property)."""
+        ntps = self.ntimepoints
+        out = np.zeros((self.ntraps, self.max_label, ntps), bool)
+        for tp in range(ntps):
+            for tile_i, tile_labels in self.labels_at_time(tp).items():
+                for lbl in tile_labels:
+                    out[tile_i, lbl - 1, tp] = True
+        return out
+
+    def cell_tp_where(
+        self,
+        min_consecutive_tps: int = 15,
+        interval: tuple[int, int] | None = None,
+    ) -> np.ndarray:
+        """Sliding-window retention (reference cells.py:273-295): for every
+        cell, the window starts where it is present for
+        ``min_consecutive_tps`` consecutive tps; optionally restricted to
+        an interval."""
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        cvt = self.cells_vs_tps
+        w = min(min_consecutive_tps, cvt.shape[1])
+        window = sliding_window_view(cvt, w, axis=1)
+        tp_min = window.sum(axis=-1) == w
+        lo, hi = interval if interval is not None else (0, tp_min.shape[1])
+        tp_min[:, :lo] = False
+        tp_min[:, hi:] = False
+        return tp_min
+
+    def retained(self, min_consecutive_tps: int = 15) -> np.ndarray:
+        """(total_cells,) bool: cells with any qualifying retention window."""
+        return self.cell_tp_where(min_consecutive_tps).any(axis=1)
+
     # -- lineage ------------------------------------------------------------
+
+    def mothers_in_trap(self, tile: int) -> list[int]:
+        """Mother labels observed in one tile's tracking parquet."""
+        return sorted(
+            {int(m) for (t0, m), _ in self.mothers_daughters() if t0 == tile}
+        )
+
 
     def _tracking(self):
         f = self.output_path / "tracking" / f"{self.position}_{self.step}.parquet"

@@ -1,17 +1,25 @@
-"""Benchmark: the standard profiling pipeline on real TPU hardware.
+"""Benchmark: the production profiling pipeline on real TPU hardware.
 
-Workload = the reference's example-01 configuration (SURVEY §6 correctness
-anchor): 256x256 5-channel Cell Painting fields, two segmented objects
-(nuclei + cell), intensity + sizeshape extraction and 4-way pairwise
-colocalization. Measures steady-state wall-clock per field-of-view
-timepoint (FOV-tp) across the full device path: segmentation forward +
-flow reconstruction + feature extraction.
+Workload = the reference's example-01 plate configuration at the builder's
+FULL default feature bank (``engine/builders.py:DEFAULT_FEATURES`` —
+radial_zernikes, intensity, feret, texture, radial_distribution, zernike —
+plus sizeshape and the 4-way colocalization pair), 256x256 5-channel Cell
+Painting fields, two segmented objects (nuclei + cell). This is the
+heaviest standard workload the builder emits; the lighter example-01
+anchor tree (intensity+sizeshape+coloc, round-1's metric) is also timed
+and reported on stderr for cross-round comparability.
 
-Baseline: the reference publishes no numbers (BASELINE.md); the denominator
-is its measured-in-kind estimate documented there — a single-CPU-node
-cellpose eval (~1.0 s) + cp_measure feature pass (~1.5 s) per 256x256 FOV
-with edge measurements off, i.e. 0.4 FOV-tp/s. ``vs_baseline`` is the
-throughput ratio against that estimate.
+Primary metric: steady-state FOV-timepoints/s through the fused whole-step
+program (ONE executable: 2x segmentation forward + flow reconstruction +
+every feature tree). A per-stage device-time table and an MXU utilization
+estimate (XLA cost_analysis flops / wall-clock / peak) go to stderr.
+
+Baseline denominator: the reference publishes no numbers (BASELINE.md).
+The documented single-CPU-node estimate for the LIGHT tree is 0.4 FOV/s
+(cellpose eval ~1.0s + light cp_measure pass ~1.5s, BENCH_NOTES.md). The
+full bank is strictly slower on the reference (texture/zernike/granularity
+dominate cp_measure CPU time), so using 0.4 FOV/s as the full-bank
+denominator UNDERSTATES our speedup — stated conservatively on purpose.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,7 +33,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 import numpy as np
 
-BASELINE_FOV_TP_PER_S = 0.4  # see BASELINE.md / docstring
+BASELINE_FOV_TP_PER_S = 0.4  # light-tree single-CPU estimate (BENCH_NOTES.md)
+PEAK_FLOPS = {  # per chip, bf16 matmul peak
+    "tpu v5 lite": 197e12,
+    "tpu v5e": 197e12,
+    "tpu v4": 275e12,
+    "tpu v6 lite": 918e12,
+}
 
 
 def build_workload(n_fovs: int, size: int = 256, seed: int = 7):
@@ -45,11 +59,18 @@ def build_workload(n_fovs: int, size: int = 256, seed: int = 7):
     return fovs
 
 
+def _best_of(fn, reps=3):
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     import jax
 
-    # Persistent executable cache: the axon remote compile is minutes per
-    # graph; cached second runs start in seconds.
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -57,113 +78,144 @@ def main():
     except Exception as e:  # older flag names — not fatal
         print(f"# cache config: {e}", file=sys.stderr)
 
-    from aliby_tpu.extract.extract import process_tree_masks
+    import jax.numpy as jnp
+
+    from aliby_tpu.engine.builders import DEFAULT_FEATURES
+    from aliby_tpu.engine.fused import (
+        FusedObject,
+        compile_fused_step,
+        results_from_fused,
+    )
     from aliby_tpu.models.segment import BUNDLED_WEIGHTS, dispatch_segmenter
 
     devices = jax.devices()
     platform = devices[0].platform
-    print(f"# devices: {devices}", file=sys.stderr)
+    kind = getattr(devices[0], "device_kind", platform).lower()
+    print(f"# devices: {devices} ({kind})", file=sys.stderr)
 
-    use_cellpose = BUNDLED_WEIGHTS.exists()
-    if use_cellpose:
-        seg = dispatch_segmenter(
-            "cellpose", channel_to_segment=0, second_channel=3
-        )
-        seg2 = dispatch_segmenter(
-            "cellpose", channel_to_segment=3, second_channel=0
-        )
-    else:
-        seg = dispatch_segmenter("threshold", channel_to_segment=0, threshold_scale=0.5)
-        seg2 = dispatch_segmenter("threshold", channel_to_segment=3, threshold_scale=0.5)
-    print(f"# segmenter: {'cellpose' if use_cellpose else 'threshold'}", file=sys.stderr)
+    assert BUNDLED_WEIGHTS.exists(), "flagship weights missing"
+    seg = dispatch_segmenter("cellpose", channel_to_segment=0, second_channel=3)
+    seg2 = dispatch_segmenter("cellpose", channel_to_segment=3, second_channel=0)
 
-    mono_tree = {"None": {"None": ("sizeshape",)}, 0: {"max": ["intensity"]}, 3: {"max": ["intensity"]}}
+    light_mono = {
+        "None": {"None": ("sizeshape",)},
+        0: {"max": ["intensity"]},
+        3: {"max": ["intensity"]},
+    }
+    full_mono = {
+        "None": {"None": ("sizeshape",)},
+        0: {"max": list(DEFAULT_FEATURES)},
+        3: {"max": list(DEFAULT_FEATURES)},
+    }
     multi_tree = {(0, 3): {"None": {"max": ["pearson", "costes", "manders_fold", "rwc"]}}}
     cpkw = {"intensity": {"edge_measurements": False}}
 
-    def run_fov(pixels):
-        masks_n = seg(pixels)
-        masks_c = seg2(pixels)
-        r = []
-        for masks in (masks_n, masks_c):
-            r.append(process_tree_masks(mono_tree, masks, pixels, cp_measure_kwargs=cpkw))
-            r.append(process_tree_masks(multi_tree, masks, pixels, cp_measure_kwargs=cpkw))
-        return r
-
     n_fovs = 8
-    warm = build_workload(n_fovs, seed=3)
-    warm_batch = np.concatenate(warm, axis=0)
-    t0 = time.time()
-    run_fov(warm[0])          # serial shapes (F=1)
-    run_fov(warm_batch)       # batched shapes (F=8)
-    print(f"# warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    warm_batch = np.concatenate(build_workload(n_fovs, seed=3), axis=0)
+    batch = np.concatenate(build_workload(n_fovs, seed=11), axis=0)
 
-    fovs = build_workload(n_fovs, seed=11)
-    batch = np.concatenate(fovs, axis=0)  # (8, C, Z, Y, X)
-
-    # Fused whole-step program: all segmenters + all trees, one executable
-    # (the deployed configuration; engine.fused).
-    fused_fn = None
-    if use_cellpose:
-        from aliby_tpu.engine.fused import (
-            FusedObject,
-            compile_fused_step,
-            results_from_fused,
-        )
-
-        fused_fn = compile_fused_step(
+    results = {}
+    for name, mono in (("light", light_mono), ("full", full_mono)):
+        fused = compile_fused_step(
             [
-                FusedObject(seg.engine, 0, 3, [(mono_tree, cpkw), (multi_tree, None)]),
-                FusedObject(seg2.engine, 3, 0, [(mono_tree, cpkw), (multi_tree, None)]),
+                FusedObject(seg.engine, 0, 3, [(mono, cpkw), (multi_tree, None)]),
+                FusedObject(seg2.engine, 3, 0, [(mono, cpkw), (multi_tree, None)]),
             ]
         )
 
-        def run_fused(pixels):
-            out = fused_fn(pixels)
-            results = []
+        def run(pixels, fused=fused):
+            out = fused(pixels)
+            res = []
             for oi in range(2):
                 for ti in range(2):
-                    results.append(
+                    res.append(
                         results_from_fused(
-                            fused_fn.plans[oi][ti],
+                            fused.plans[oi][ti],
                             *out["features"][oi][ti],
                             out["labels"][oi],
                         )
                     )
-            return results
+            return res
 
-        t0 = time.time()
-        run_fused(warm_batch)
-        print(f"# fused warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        run(warm_batch)
+        print(f"# {name} fused warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        dt = _best_of(lambda: run(batch))
+        results[name] = n_fovs / dt
+        print(f"# {name} fused: {results[name]:.3f} fov/s", file=sys.stderr)
 
-    # The tunnel to the chip stalls sporadically; take the best of 3 reps
-    # per mode as the hardware-capability number.
-    serial, batched, fused = 0.0, 0.0, 0.0
-    for _ in range(3):
-        t0 = time.time()
-        for pixels in fovs:
-            run_fov(pixels)
-        serial = max(serial, n_fovs / (time.time() - t0))
-        t0 = time.time()
-        run_fov(batch)  # production path: everything vectorizes over F
-        batched = max(batched, n_fovs / (time.time() - t0))
-        if fused_fn is not None:
-            t0 = time.time()
-            run_fused(batch)
-            fused = max(fused, n_fovs / (time.time() - t0))
-    fov_tp_per_s = max(serial, batched, fused)
-    print(
-        f"# serial {serial:.3f} / batched {batched:.3f} / fused {fused:.3f} "
-        f"fov/s on {platform}",
-        file=sys.stderr,
+    # ---- per-stage device timing (full bank) -------------------------------
+    stage = {}
+    engine = seg.engine
+    imgs = jnp.asarray(
+        np.stack([batch[:, 0, 0], batch[:, 3, 0]], axis=1)
+    )  # (8, 2, Y, X)
+    engine._segment_all(engine.params, imgs).block_until_ready()
+    stage["segment (fwd+flows+labels) x1 object"] = _best_of(
+        lambda: engine._segment_all(engine.params, imgs).block_until_ready()
     )
+    labels8 = engine._segment_all(engine.params, imgs)
 
+    from aliby_tpu.extract import features as FT
+    from aliby_tpu.extract import texture as TX
+
+    fam_fns = {
+        "sizeshape": lambda l, i: FT.sizeshape(l, 256),
+        "intensity": lambda l, i: FT.intensity(l, i, 256, edge_measurements=False),
+        "texture": lambda l, i: TX.texture(l, i, 256),
+        "zernike": lambda l, i: TX.zernike(l, 256),
+        "radial_zernikes": lambda l, i: TX.radial_zernikes(l, i, 256),
+        "radial_distribution": lambda l, i: TX.radial_distribution(l, i, 256),
+        "granularity": lambda l, i: TX.granularity(l, i, 256),
+        "coloc (pearson+costes+manders+rwc)": lambda l, i: {
+            **FT.pearson(l, i, i, 256), **FT.costes(l, i, i, 256),
+            **FT.manders_fold(l, i, i, 256), **FT.rwc(l, i, i, 256),
+        },
+    }
+    img8 = jnp.asarray(batch[:, 0, 0])
+    for fname, fn in fam_fns.items():
+        jf = jax.jit(lambda l, i, fn=fn: jax.vmap(fn)(l, i))
+        out = jf(labels8, img8)
+        jax.block_until_ready(out)
+        stage[f"features: {fname}"] = _best_of(
+            lambda: jax.block_until_ready(jf(labels8, img8))
+        )
+
+    print("# --- stage table (device time for 8 FOVs, best of 3) ---", file=sys.stderr)
+    for k, v in stage.items():
+        print(f"# {k:45s} {v * 1000:8.1f} ms ({n_fovs / v:7.2f} fov/s)", file=sys.stderr)
+
+    # ---- MFU estimate -------------------------------------------------------
+    try:
+        lowered = jax.jit(
+            lambda p, x: engine.model.apply(p, x)
+        ).lower(engine.params, np.zeros((8, 256, 256, 2), np.float32))
+        cost = lowered.compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        t_fwd = stage["segment (fwd+flows+labels) x1 object"]
+        peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
+        mfu = flops / t_fwd / peak if peak else None
+        print(
+            f"# unet fwd flops={flops:.3e} ({flops / t_fwd:.3e} flop/s"
+            + (f", MFU~{mfu * 100:.1f}% of bf16 peak; fwd share only" if mfu else "")
+            + ")",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    fov_tp_per_s = results["full"]
+    print(f"# light-tree (r1 anchor): {results['light']:.3f} fov/s", file=sys.stderr)
     print(
         json.dumps(
             {
-                "metric": "fov_tp_per_s",
+                "metric": "fov_tp_per_s_fullbank",
                 "value": round(fov_tp_per_s, 3),
-                "unit": "fov-timepoints/s (segment x2 + features, 256x256 5ch)",
+                "unit": (
+                    "fov-timepoints/s (2x segment + FULL default feature bank"
+                    " + coloc, 256x256 5ch)"
+                ),
                 "vs_baseline": round(fov_tp_per_s / BASELINE_FOV_TP_PER_S, 2),
             }
         )

@@ -44,7 +44,9 @@ def o_perimeter(mask: np.ndarray) -> float:
     """skimage.measure.perimeter algorithm: border pixels weighted by their
     4/8-neighborhood border pattern (Vossepoel–Smeulders)."""
     m = mask.astype(bool)
-    eroded = ndimage.binary_erosion(m, structure=np.ones((3, 3)), border_value=0)
+    eroded = ndimage.binary_erosion(
+        m, structure=ndimage.generate_binary_structure(2, 1), border_value=0
+    )
     border = m & ~eroded
     strel4 = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]])
     streld = np.array([[1, 0, 1], [0, 0, 0], [1, 0, 1]])
@@ -151,7 +153,8 @@ def o_sizeshape(mask: np.ndarray) -> dict:
     major = 4.0 * math.sqrt(max(l1, 0.0))
     minor = 4.0 * math.sqrt(max(l2, 0.0))
     ecc = math.sqrt(max(1.0 - l2 / l1, 0.0)) if l1 > 0 else 0.0
-    orientation = 0.5 * math.atan2(2 * u11, u20 - u02)
+    # regionprops orientation convention (angle of major axis vs y-axis)
+    orientation = 0.5 * math.atan2(-2 * u11, u02 - u20)
     perim = o_perimeter(mask)
     edt = ndimage.distance_transform_edt(mask)
     dists = edt[mask]
@@ -212,6 +215,8 @@ def o_sizeshape(mask: np.ndarray) -> dict:
             out[f"AreaShape_NormalizedMoment_{i}_{j}"] = eta[(i, j)]
     for idx, h in enumerate(hu):
         out[f"AreaShape_HuMoment_{idx}"] = h
+    for (zn, zm), v in o_zernike(mask).items():
+        out[f"AreaShape_Zernike_{zn}_{zm}"] = v
     return out
 
 
@@ -247,8 +252,10 @@ def o_intensity(mask: np.ndarray, img: np.ndarray, edge_measurements=True) -> di
         "Location_MaxIntensity_Y": float(ys[k]),
     }
     if edge_measurements:
+        # CellProfiler/centrosome outline convention: 4-connected erosion
         eroded = ndimage.binary_erosion(
-            mask, structure=np.ones((3, 3)), border_value=0
+            mask, structure=ndimage.generate_binary_structure(2, 1),
+            border_value=0,
         )
         edge = mask & ~eroded
         ev = img[edge].astype(np.float64)
@@ -418,4 +425,86 @@ def o_granularity(mask, img, n_steps=16) -> dict:
         s = opened[m].sum()
         out[f"Granularity_{k}"] = 100.0 * (prev - s) / max(start, 1e-12)
         prev = s
+    return out
+
+
+# ---------------------------------------------------------------------------
+# texture (Haralick GLCM, per-object min-max quantization to NG levels)
+# ---------------------------------------------------------------------------
+
+HARALICK_NAMES = (
+    "AngularSecondMoment", "Contrast", "Correlation", "Variance",
+    "InverseDifferenceMoment", "SumAverage", "SumVariance", "SumEntropy",
+    "Entropy", "DifferenceVariance", "DifferenceEntropy", "InfoMeas1",
+    "InfoMeas2",
+)
+
+
+def _plog(x):
+    return np.where(x > 1e-12, np.log(np.maximum(x, 1e-12)), 0.0)
+
+
+def o_texture(mask, img, scale=3, ng=32) -> dict:
+    """13 Haralick features x 4 angles from the standard GLCM definitions."""
+    m = mask.astype(bool)
+    v = img.astype(np.float64)
+    vmin, vmax = v[m].min(), v[m].max()
+    span = max(vmax - vmin, 1e-12)
+    q = np.clip(((v - vmin) / span * ng).astype(int), 0, ng - 1)
+    out = {}
+    for a_idx, (dy, dx) in enumerate(((0, 1), (1, 1), (1, 0), (1, -1))):
+        oy, ox = dy * scale, dx * scale
+        H, W = m.shape
+        ys = slice(max(0, -oy), H - max(0, oy))
+        xs = slice(max(0, -ox), W - max(0, ox))
+        ys2 = slice(max(0, oy), H - max(0, -oy))
+        xs2 = slice(max(0, ox), W - max(0, -ox))
+        valid = m[ys, xs] & m[ys2, xs2]
+        P = np.zeros((ng, ng))
+        np.add.at(P, (q[ys, xs][valid], q[ys2, xs2][valid]), 1.0)
+        P = P + P.T
+        if P.sum() == 0:
+            for name in HARALICK_NAMES:
+                out[f"Texture_{name}_{scale}_{a_idx:02d}_256"] = np.nan
+            continue
+        P = P / P.sum()
+        i = np.arange(ng, dtype=float)
+        ii, jj = np.meshgrid(i, i, indexing="ij")
+        px, py = P.sum(1), P.sum(0)
+        mu_x, mu_y = (px * i).sum(), (py * i).sum()
+        var_x = (px * (i - mu_x) ** 2).sum()
+        var_y = (py * (i - mu_y) ** 2).sum()
+        sd = math.sqrt(max(var_x * var_y, 1e-12))
+        p_sum = np.zeros(2 * ng - 1)
+        np.add.at(p_sum, (ii + jj).astype(int).ravel(), P.ravel())
+        p_diff = np.zeros(ng)
+        np.add.at(p_diff, np.abs(ii - jj).astype(int).ravel(), P.ravel())
+        k_sum = np.arange(2 * ng - 1, dtype=float)
+        k_diff = np.arange(ng, dtype=float)
+        sum_avg = (p_sum * k_sum).sum()
+        diff_avg = (p_diff * k_diff).sum()
+        entropy = -(P * _plog(P)).sum()
+        hx = -(px * _plog(px)).sum()
+        hy = -(py * _plog(py)).sum()
+        pxy = px[:, None] * py[None, :]
+        hxy1 = -(P * _plog(pxy)).sum()
+        hxy2 = -(pxy * _plog(pxy)).sum()
+        feats = {
+            "AngularSecondMoment": (P ** 2).sum(),
+            "Contrast": (P * (ii - jj) ** 2).sum(),
+            "Correlation": ((P * (ii - mu_x) * (jj - mu_y)).sum() / sd
+                            if sd > 1e-6 else 0.0),
+            "Variance": (P * (ii - mu_x) ** 2).sum(),
+            "InverseDifferenceMoment": (P / (1.0 + (ii - jj) ** 2)).sum(),
+            "SumAverage": sum_avg,
+            "SumVariance": (p_sum * (k_sum - sum_avg) ** 2).sum(),
+            "SumEntropy": -(p_sum * _plog(p_sum)).sum(),
+            "Entropy": entropy,
+            "DifferenceVariance": (p_diff * (k_diff - diff_avg) ** 2).sum(),
+            "DifferenceEntropy": -(p_diff * _plog(p_diff)).sum(),
+            "InfoMeas1": (entropy - hxy1) / max(max(hx, hy), 1e-12),
+            "InfoMeas2": math.sqrt(max(1.0 - math.exp(-2.0 * (hxy2 - entropy)), 0.0)),
+        }
+        for name in HARALICK_NAMES:
+            out[f"Texture_{name}_{scale}_{a_idx:02d}_256"] = feats[name]
     return out

@@ -199,3 +199,39 @@ def test_e2e_timeseries_with_tracking(tmp_path, data_dir):
     tps = set(profiles.column("metadata_tp").to_pylist())
     assert tps == {0, 1, 2}
     assert profiles.num_rows > 10
+
+
+def test_example01_column_inventory(tmp_path, data_dir):
+    """The example-01 schema anchor (reference: 26 rows x 632 columns,
+    examples/01:156-163): OUR pipeline's full column inventory for the
+    example-01 configuration is pinned in tests/golden/ — any schema drift
+    (renamed/lost/added feature columns) fails this diff."""
+    from pathlib import Path
+
+    entry, position = _cellpainting_position()
+    base = build_pipeline_steps(
+        channels_to_segment={"nuclei": 0, "cell": 3},
+        channels_to_extract=[0, 1, 3],
+        features_to_extract=("intensity", "sizeshape"),
+        segmenter_extra_kwargs={"kind": "threshold", "threshold_scale": 0.6},
+    )
+    pipeline = _stamp(base, entry, position)
+    profiles, _ = run_pipeline_and_post(
+        pipeline=pipeline,
+        pipeline_name=position["key"],
+        output_path=tmp_path,
+        overwrite=True,
+    )
+    golden = set(
+        (Path(__file__).parent / "golden" / "example01_columns.txt")
+        .read_text().splitlines()
+    )
+    got = set(profiles.column_names)
+    missing = sorted(golden - got)
+    extra = sorted(got - golden)
+    assert not missing and not extra, (
+        f"schema drift: {len(missing)} missing {missing[:5]}, "
+        f"{len(extra)} extra {extra[:5]} "
+        "(regenerate tests/golden/example01_columns.txt if intentional)"
+    )
+    assert profiles.num_rows > 10

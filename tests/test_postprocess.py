@@ -111,3 +111,45 @@ def test_progress_estimation(run_dir):
     assert report["positions"][pos]["tps_written"] == 3
     assert not report["positions"]["ghost_position"]["done"]
     assert report["fraction_done"] == 0.5
+
+
+def test_cells_extended_queries(run_dir):
+    """Reference Cells surface (agora/io/cells.py:154-295): at_times,
+    per-cell where/mask/outline, presence tensors, sliding retention."""
+    out, pos = run_dir
+    cells = Cells(out, pos, step="segment_cell")
+    # at_time/at_times
+    per_tile = cells.at_time(0)
+    assert set(per_tile) == {0}
+    assert all(m.dtype == bool for m in per_tile[0])
+    assert len(per_tile[0]) == len(cells.labels_at_time(0)[0])
+    stacks = cells.at_times(range(3))
+    assert len(stacks) == 3 and stacks[0][0].ndim == 3
+    edges = cells.at_time(0, kind="edgemask")
+    assert edges[0][0].sum() < per_tile[0][0].sum()
+    # per-cell queries
+    lbl = cells.labels_at_time(0)[0][0]
+    tps, masks = cells.where(lbl, 0)
+    assert len(tps) >= 1 and masks[0].any()
+    tps2, outlines = cells.outline(lbl, 0)
+    assert (tps2 == tps).all() and outlines[0].sum() < masks[0].sum()
+    # inventories
+    assert lbl in cells.cell_labels_in_trap(0)
+    assert cells.nonempty_tp_in_trap(0) == {0, 1, 2}
+    assert cells.ntraps == 1
+    assert cells.max_label == max(cells.max_labels)
+    # presence tensors
+    cvt = cells.cells_vs_tps
+    assert cvt.shape[1] == 3 and cvt.any(axis=1).all()
+    tvt = cells.tiles_vs_cells_vs_tps
+    assert tvt.shape == (1, cells.max_label, 3)
+    assert tvt.sum() == cvt.sum()
+    # sliding-window retention
+    win = cells.cell_tp_where(min_consecutive_tps=3)
+    ret = cells.retained(min_consecutive_tps=3)
+    assert ret.shape[0] == cvt.shape[0]
+    assert ret.sum() >= 1  # track-consistent cells persist all 3 tps
+    assert (win.any(axis=1) == ret).all()
+    # interval restriction zeroes out-of-range windows
+    win_hi = cells.cell_tp_where(min_consecutive_tps=1, interval=(1, 2))
+    assert not win_hi[:, 0].any() and not win_hi[:, 2:].any()
