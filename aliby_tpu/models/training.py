@@ -78,17 +78,39 @@ def make_sharded_train_step(model: CellposeNet, tx, mesh):
     return step, batch_sharding
 
 
-def synthetic_batch(rng: np.random.Generator, batch: int, size: int, in_channels: int = 2) -> dict:
-    """Render (image, flows, fg) training tuples from the fixture generator."""
-    from aliby_tpu.test_data import render_cells
+def synthetic_batch(
+    rng: np.random.Generator,
+    batch: int,
+    size: int,
+    in_channels: int = 2,
+    budding_frac: float = 0.0,
+) -> dict:
+    """Render (image, flows, fg) training tuples from the fixture generators.
+
+    ``budding_frac`` mixes in budding-yeast frames (attached mother+bud
+    pairs from ``render_budding_movie``) so the net learns to separate
+    bud-neck-touching cells — the BABY-class training geometry.
+    """
+    from aliby_tpu.test_data import render_budding_movie, render_cells
 
     imgs, flows, fgs = [], [], []
     for _ in range(batch):
-        n = int(rng.integers(6, 16))
-        cells, nuclei, labels = render_cells(size, n, rng)
-        noise = rng.normal(0, 0.03, (size, size)).astype(np.float32)
-        ch0 = (cells + noise).astype(np.float32)
-        ch1 = (nuclei + noise).astype(np.float32)
+        if budding_frac and rng.random() < budding_frac:
+            T = int(rng.integers(2, 5))
+            frames, labels_t, _ = render_budding_movie(
+                size, T, rng, n_mothers=int(rng.integers(4, 9)),
+                bud_max_radius=float(rng.uniform(5.0, 8.0)),
+            )
+            t = int(rng.integers(1, T))  # pick a frame WITH buds when possible
+            ch0 = frames[t].astype(np.float32)
+            labels = labels_t[t]
+            ch1 = np.zeros_like(ch0)
+        else:
+            n = int(rng.integers(6, 16))
+            cells, nuclei, labels = render_cells(size, n, rng)
+            noise = rng.normal(0, 0.03, (size, size)).astype(np.float32)
+            ch0 = (cells + noise).astype(np.float32)
+            ch1 = (nuclei + noise).astype(np.float32)
         img = np.stack([ch0, ch1] + [np.zeros_like(ch0)] * (in_channels - 2), -1)
         f = np.asarray(flows_mod.masks_to_flows(labels))
         imgs.append(img)

@@ -1,7 +1,12 @@
 """Train the flagship CellposeNet on synthetic fields and bundle weights.
 
-Run on the TPU chip:  python scripts/train_flagship.py [n_steps]
+Run on the TPU chip:  python scripts/train_flagship.py [n_steps] [--budding F]
 Writes aliby_tpu/models/weights/cellpose_synthetic.msgpack (f16 msgpack).
+
+``--budding 0.4`` mixes 40% budding-yeast frames (attached mother+bud
+pairs) into the batches so the model learns bud-neck separation — the
+BABY-class geometry. Restart note (memory): a fresh cosine schedule at
+lr 2e-3 on warm weights spikes the loss; use a lower peak when resuming.
 """
 
 import sys
@@ -14,7 +19,13 @@ import numpy as np
 
 
 def main():
-    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_steps = int(args[0]) if args else 400
+    budding = (
+        float(sys.argv[sys.argv.index("--budding") + 1])
+        if "--budding" in sys.argv
+        else 0.0
+    )
     import jax
     import optax
 
@@ -34,13 +45,15 @@ def main():
 
         params = load_params(BUNDLED_WEIGHTS, params)
         print("resuming from bundled weights", flush=True)
-    tx = optax.adamw(optax.cosine_decay_schedule(2e-3, n_steps, 0.05))
+    resumed = BUNDLED_WEIGHTS.exists() and "--fresh" not in sys.argv
+    peak_lr = 5e-4 if resumed else 2e-3  # lower restart lr on warm weights
+    tx = optax.adamw(optax.cosine_decay_schedule(peak_lr, n_steps, 0.05))
     opt_state = tx.init(params)
     step = make_train_step(model, tx)
 
     t0 = time.time()
     for i in range(n_steps):
-        batch = synthetic_batch(rng, batch=8, size=128)
+        batch = synthetic_batch(rng, batch=8, size=128, budding_frac=budding)
         params, opt_state, metrics = step(params, opt_state, batch)
         if (i + 1) % 25 == 0 or i == 0:
             print(
