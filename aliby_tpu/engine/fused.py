@@ -25,7 +25,6 @@ The per-object results convert back into the reference's
 from __future__ import annotations
 
 from dataclasses import dataclass
-from itertools import product
 from typing import Sequence
 
 import jax
@@ -140,27 +139,17 @@ def results_from_fused(
     plan, names: list[str], arr: np.ndarray, labels: np.ndarray
 ):
     """Convert one tree's fused output back to the reference structure
-    ``(tileid_instructions, results)`` (see ``process_tree_masks``)."""
+    ``(tileid_instructions, results)`` (see ``process_tree_masks``).
+
+    Returns a lazy :class:`~aliby_tpu.extract.extract.FusedTreeResult`:
+    unpacking materializes the per-object rows; ``format_extraction``
+    builds the wide table directly from the array (no per-row Python)."""
+    from aliby_tpu.extract.extract import FusedTreeResult
+
     instructions, _entries, _slot_of, inst_lookup = plan
+    labels = np.asarray(labels)
     F = labels.shape[0]
     n_per_tile = [int(labels[f].max()) for f in range(F)]
-    ind_masks = [(f, l) for f in range(F) for l in range(1, n_per_tile[f] + 1)]
-    tileid_instructions = tuple(product(ind_masks, instructions))
-    table = {name: arr[i] for i, name in enumerate(names)}
-    dict_views: dict = {}
-    for name in names:
-        idx_str, feat = name.split("::", 1)
-        dict_views.setdefault(int(idx_str), {})[feat] = table[name]
-    results = []
-    for (tile_i, label), inst in tileid_instructions:
-        mode, entry_idx, metric = inst_lookup[inst]
-        if mode == "scalar":
-            results.append(float(dict_views[entry_idx][metric][tile_i, label - 1]))
-        else:
-            results.append(
-                {
-                    k: np.asarray([v[tile_i, label - 1]])
-                    for k, v in dict_views[entry_idx].items()
-                }
-            )
-    return tileid_instructions, results
+    return FusedTreeResult(
+        instructions, inst_lookup, names, np.asarray(arr), n_per_tile
+    )

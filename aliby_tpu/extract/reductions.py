@@ -219,39 +219,40 @@ def convex_area_pixels(labels, max_labels, pmax=None, pmin=None, n_dir: int = 18
     (skimage ``convex_image``.sum(), the cp_measure/CellProfiler quantity).
 
     The hull of pixel centers is the intersection of K support slabs
-    ``pmin[l,k] <= <p, d_k> <= pmax[l,k]``; a pixel belongs to label l's
-    convex image iff it satisfies every slab. Membership is evaluated for
-    ALL (pixel, label) pairs by a fori over the K directions carrying the
-    (HW, L) max-violation — one (HW, 2)x(2, K) projection matmul feeds it.
-    Exact up to the O(1/K^2) circumscription sliver (K=180 admits no extra
-    lattice points for cell-sized objects in practice).
+    ``pmin[l,k] <= <p, d_k> <= pmax[l,k]``. A convex set meets each pixel
+    row y in an interval, so instead of testing every (pixel, label) pair
+    (O(HW*L*K) — formerly a fori over K carrying an (HW, L) carry, ~24 GB
+    of HBM traffic per 8-FOV batch), solve each slab for x per (label, row):
+    ``x >= (pmin - y cos)/sin`` and ``x <= (pmax - y cos)/sin`` (sin > 0 for
+    theta in (0, pi)); the interval is [max of lows, min of highs] and the
+    row count is its integer-lattice length. O(L*Y*K) — 256x less work,
+    identical membership set (same inequalities, same eps slack; both the
+    eps margin and the float rounding scale by 1/sin, so borderline pixels
+    do not flip). The theta=0 direction has sin=0 and constrains y alone.
     """
     H, W = labels.shape
     theta = jnp.arange(n_dir) * (jnp.pi / n_dir)
-    dirs = jnp.stack([jnp.cos(theta), jnp.sin(theta)])  # (2, K)
-    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
-    pts = jnp.stack([yy, xx], axis=1)  # (HW, 2)
-    proj = pts @ dirs  # (HW, K)
     if pmax is None or pmin is None:
-        flat_l = labels.reshape(-1)
-        pmax = jnp.full((max_labels + 1, n_dir), -jnp.inf, jnp.float32)
-        pmax = pmax.at[flat_l].max(proj)[1:]
-        pmin = jnp.full((max_labels + 1, n_dir), jnp.inf, jnp.float32)
-        pmin = pmin.at[flat_l].min(proj)[1:]
+        pmax, pmin = directional_extents(labels, max_labels, n_dir=n_dir)
     eps = 1e-3
-
-    def body(k, viol):
-        pk = proj[:, k]  # (HW,)
-        over = pk[:, None] - pmax[None, :, k]  # (HW, L)
-        under = pmin[None, :, k] - pk[:, None]
-        return jnp.maximum(viol, jnp.maximum(over, under))
-
-    viol = jax.lax.fori_loop(
-        0, n_dir, body, jnp.full((pts.shape[0], max_labels), -jnp.inf)
-    )
-    inside = viol <= eps  # (HW, L)
-    area = inside.sum(axis=0).astype(jnp.float32)
+    cos = jnp.cos(theta)
+    sin = jnp.sin(theta)
+    is_axis = sin < 1e-9  # theta = 0: constrains y only
+    sin_safe = jnp.where(is_axis, 1.0, sin)
+    y = jnp.arange(H, dtype=jnp.float32)
+    ycos = y[None, :, None] * cos[None, None, :]  # (1, Y, K)
+    lo = (pmin[:, None, :] - eps - ycos) / sin_safe  # (L, Y, K)
+    hi = (pmax[:, None, :] + eps - ycos) / sin_safe
+    neg = jnp.broadcast_to(is_axis, lo.shape)
+    xlo = jnp.max(jnp.where(neg, -jnp.inf, lo), axis=2)  # (L, Y)
+    xhi = jnp.min(jnp.where(neg, jnp.inf, hi), axis=2)
+    # axis directions: y*cos within [pmin - eps, pmax + eps]
+    ok_axis = (ycos >= pmin[:, None, :] - eps) & (ycos <= pmax[:, None, :] + eps)
+    yvalid = jnp.where(neg, ok_axis, True).all(axis=2)  # (L, Y)
+    xlo_i = jnp.maximum(jnp.ceil(xlo), 0.0)
+    xhi_i = jnp.minimum(jnp.floor(xhi), W - 1.0)
+    cnt = jnp.maximum(xhi_i - xlo_i + 1.0, 0.0)
+    area = jnp.where(yvalid, cnt, 0.0).sum(axis=1)
     valid = jnp.isfinite(pmax).all(axis=1)
     return jnp.where(valid, area, jnp.nan)
 

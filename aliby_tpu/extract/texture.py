@@ -226,24 +226,15 @@ def _zernike_pairs(max_n: int = 9):
     return pairs
 
 
-def _radial_poly(rho, n, m):
-    total = jnp.zeros_like(rho)
-    for s in range((n - m) // 2 + 1):
-        c = (
-            (-1) ** s
-            * math.factorial(n - s)
-            / (
-                math.factorial(s)
-                * math.factorial((n + m) // 2 - s)
-                * math.factorial((n - m) // 2 - s)
-            )
-        )
-        total = total + c * rho ** (n - 2 * s)
-    return total
-
-
 def _zernike_core(labels, weight, max_labels):
-    """|A_nm| of ``weight`` over each object's unit disk."""
+    """|A_nm| of ``weight`` over each object's unit disk.
+
+    All 30 (n, m) pairs' real+imaginary integrands are stacked into one
+    (HW, 60) column block and accumulated by a SINGLE multi-column
+    scatter-add (60 separate per-pair scatters serialized on the TPU's
+    scatter unit — ~340 ms/8 FOVs; one wide scatter rides contiguous
+    lanes). Radial powers rho^p are shared across pairs.
+    """
     st = LabelStats(labels, max_labels)
     present = st.present
     l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
@@ -256,11 +247,36 @@ def _zernike_core(labels, weight, max_labels):
     theta = jnp.arctan2(dy, dx)
     inside = (labels > 0) & (rho <= 1.0)
     w = jnp.where(inside, weight, 0.0)
+    pairs = _zernike_pairs()
+    max_n = max(n for n, _ in pairs)
+    pows = [jnp.ones_like(rho)]
+    for _ in range(max_n):
+        pows.append(pows[-1] * rho)
+    cols = []
+    for n, m in pairs:
+        R = jnp.zeros_like(rho)
+        for s in range((n - m) // 2 + 1):
+            c = (
+                (-1) ** s
+                * math.factorial(n - s)
+                / (
+                    math.factorial(s)
+                    * math.factorial((n + m) // 2 - s)
+                    * math.factorial((n - m) // 2 - s)
+                )
+            )
+            R = R + c * pows[n - 2 * s]
+        cols.append(w * R * jnp.cos(m * theta))
+        cols.append(w * R * jnp.sin(m * theta))
+    vals = jnp.stack(cols, axis=-1).reshape(-1, 2 * len(pairs))  # (HW, 60)
+    acc = (
+        jnp.zeros((max_labels + 1, vals.shape[1]), jnp.float32)
+        .at[labels.reshape(-1)]
+        .add(vals)[1:]
+    )  # (L, 60)
     out = {}
-    for n, m in _zernike_pairs():
-        R = _radial_poly(rho, n, m)
-        re = seg_sum(w * R * jnp.cos(m * theta), labels, max_labels)
-        im = seg_sum(w * R * jnp.sin(m * theta), labels, max_labels)
+    for i, (n, m) in enumerate(pairs):
+        re, im = acc[:, 2 * i], acc[:, 2 * i + 1]
         norm = (n + 1) / (jnp.pi * rmax**2)
         mag = jnp.sqrt(re**2 + im**2) * norm
         out[(n, m)] = jnp.where(present, mag, jnp.nan)
