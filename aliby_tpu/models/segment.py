@@ -139,7 +139,7 @@ class CellposeTPU:
         pretrained_path: str | Path | None = None,
         model_kwargs: dict | None = None,
         cellprob_threshold: float = 0.0,
-        flow_iters: int = 8,
+        flow_iters: int = 2,
         max_labels: int = 256,
         min_size: int = 15,
     ):
@@ -238,7 +238,7 @@ def _make_cellpose_segmenter(
         pretrained_path=kwargs.get("pretrained_path"),
         model_kwargs=kwargs.get("model_kwargs"),
         cellprob_threshold=kwargs.get("cellprob_threshold", 0.0),
-        flow_iters=kwargs.get("flow_iters", 8),
+        flow_iters=kwargs.get("flow_iters", 2),
         max_labels=kwargs.get("max_labels", 256),
         min_size=kwargs.get("min_size", 15),
     )

@@ -45,58 +45,63 @@ def _jfa(seed_mask: jnp.ndarray, labels: jnp.ndarray | None, mode: str) -> jnp.n
 
     mode: "any" (any seed), "diff" (seed label != pixel label),
     "same" (seed label == pixel label).
+
+    Performance-critical formulation: the stride schedule is unrolled at
+    trace time so every neighbor read is a STATIC shift — with a traced
+    stride (the old ``lax.scan`` over strides), each read ``sy[ny, nx]``
+    lowers to a full (H, W) dynamic gather, which serializes on the TPU
+    (667 ms for an 8-image 256^2 batch; static shifts run it in ~15 ms).
+    The carried state (seed y, seed x, and — for label-aware modes — the
+    seed's LABEL, so validity never indexes ``labels`` at data-dependent
+    positions) is stacked into one (C, H, W) block edge-padded ONCE per
+    sweep; the 8 neighbor reads are then plain slices. One pad per sweep
+    keeps the unrolled graph small enough for the CPU backend's compile
+    passes (a pad per neighbor made XLA:CPU compile times pathological).
     """
     H, W = seed_mask.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     sy = jnp.where(seed_mask, yy, _FAR)
     sx = jnp.where(seed_mask, xx, _FAR)
+    with_labels = mode != "any" and labels is not None
+    if with_labels:
+        state = jnp.stack([sy, sx, jnp.where(seed_mask, labels, 0)])
+    else:
+        state = jnp.stack([sy, sx])
 
-    def dist2(py, px, qy, qx):
-        dy = (py - qy).astype(jnp.float32)
-        dx = (px - qx).astype(jnp.float32)
+    def dist2(qy, qx):
+        dy = (yy - qy).astype(jnp.float32)
+        dx = (xx - qx).astype(jnp.float32)
         return dy * dy + dx * dx
 
-    def candidate_ok(cand_y, cand_x):
-        has = cand_y > _FAR
-        if mode == "any" or labels is None:
+    def candidate_ok(cand):
+        has = cand[0] > _FAR
+        if not with_labels:
             return has
-        ly = jnp.clip(cand_y, 0, H - 1)
-        lx = jnp.clip(cand_x, 0, W - 1)
-        seed_lbl = labels[ly, lx]
         if mode == "diff":
-            return has & (seed_lbl != labels)
-        return has & (seed_lbl == labels)
+            return has & (cand[2] != labels)
+        return has & (cand[2] == labels)
 
-    def sweep(state, stride):
-        # stride is a traced scalar: the whole stride schedule runs through
-        # ONE compiled sweep via lax.scan (compile cost matters on the
-        # single-core host driving the TPU).
-        sy, sx = state
-        best = jnp.where(
-            candidate_ok(sy, sx), dist2(yy, xx, sy, sx), jnp.inf
+    for stride in _strides(H, W):
+        padded = jnp.pad(
+            state, ((0, 0), (stride, stride), (stride, stride)), mode="edge"
         )
-        by, bx = sy, sx
+        best = jnp.where(candidate_ok(state), dist2(state[0], state[1]), jnp.inf)
+        new_state = state
         for sdy in (-1, 0, 1):
             for sdx in (-1, 0, 1):
                 if sdy == 0 and sdx == 0:
                     continue
-                ny = jnp.clip(yy + sdy * stride, 0, H - 1)
-                nx = jnp.clip(xx + sdx * stride, 0, W - 1)
-                cy = sy[ny, nx]
-                cx = sx[ny, nx]
-                d = jnp.where(candidate_ok(cy, cx), dist2(yy, xx, cy, cx), jnp.inf)
+                y0 = stride + sdy * stride
+                x0 = stride + sdx * stride
+                cand = padded[:, y0 : y0 + H, x0 : x0 + W]
+                d = jnp.where(candidate_ok(cand), dist2(cand[0], cand[1]), jnp.inf)
                 take = d < best
                 best = jnp.where(take, d, best)
-                by = jnp.where(take, cy, by)
-                bx = jnp.where(take, cx, bx)
-        return (by, bx), None
+                new_state = jnp.where(take[None], cand, new_state)
+        state = new_state
 
-    stride_seq = jnp.asarray(_strides(H, W), jnp.int32)
-    (sy, sx), _ = jax.lax.scan(sweep, (sy, sx), stride_seq)
-
-    final = jnp.where(candidate_ok(sy, sx), dist2(yy, xx, sy, sx), jnp.inf)
-    return final
+    return jnp.where(candidate_ok(state), dist2(state[0], state[1]), jnp.inf)
 
 
 @jax.jit
@@ -117,28 +122,26 @@ def nearest_seed(seed_mask: jnp.ndarray):
         dx = (xx - qx).astype(jnp.float32)
         return dy * dy + dx * dx
 
-    def sweep(state, stride):
-        sy, sx = state
-        best = jnp.where(sy > _FAR, dist2(sy, sx), jnp.inf)
-        by, bx = sy, sx
+    state = jnp.stack([sy, sx])
+    for stride in _strides(H, W):
+        padded = jnp.pad(
+            state, ((0, 0), (stride, stride), (stride, stride)), mode="edge"
+        )
+        best = jnp.where(state[0] > _FAR, dist2(state[0], state[1]), jnp.inf)
+        new_state = state
         for sdy in (-1, 0, 1):
             for sdx in (-1, 0, 1):
                 if sdy == 0 and sdx == 0:
                     continue
-                ny = jnp.clip(yy + sdy * stride, 0, H - 1)
-                nx = jnp.clip(xx + sdx * stride, 0, W - 1)
-                cy = sy[ny, nx]
-                cx = sx[ny, nx]
-                d = jnp.where(cy > _FAR, dist2(cy, cx), jnp.inf)
+                y0 = stride + sdy * stride
+                x0 = stride + sdx * stride
+                cand = padded[:, y0 : y0 + H, x0 : x0 + W]
+                d = jnp.where(cand[0] > _FAR, dist2(cand[0], cand[1]), jnp.inf)
                 take = d < best
                 best = jnp.where(take, d, best)
-                by = jnp.where(take, cy, by)
-                bx = jnp.where(take, cx, bx)
-        return (by, bx), None
-
-    stride_seq = jnp.asarray(_strides(H, W), jnp.int32)
-    (sy, sx), _ = jax.lax.scan(sweep, (sy, sx), stride_seq)
-    return sy, sx
+                new_state = jnp.where(take[None], cand, new_state)
+        state = new_state
+    return state[0], state[1]
 
 
 @jax.jit

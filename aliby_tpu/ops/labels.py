@@ -110,6 +110,27 @@ def relabel_sequential(labels: jnp.ndarray, max_labels: int) -> tuple[jnp.ndarra
     return new_flat.reshape(labels.shape).astype(jnp.int32), forward
 
 
+@functools.partial(jax.jit, static_argnames=("upper", "max_labels"))
+def relabel_dense(labels: jnp.ndarray, upper: int, max_labels: int) -> jnp.ndarray:
+    """Compact positive labels KNOWN to lie in [0, upper) into 1..n.
+
+    Sort-free twin of :func:`relabel_sequential` for bounded label spaces
+    (e.g. connected-component ids, which are pixel indices): presence
+    scatter + prefix-sum + one gather, instead of a 64k ``jnp.unique`` sort
+    (~78 ms per 8-FOV batch on v5e — this runs in ~15 ms). Ordering matches
+    (ascending original label). Labels whose sequential id would exceed
+    ``max_labels`` map to 0 (dropped) rather than aliased.
+    """
+    flat = labels.reshape(-1)
+    present = jnp.zeros(upper, jnp.int32).at[jnp.clip(flat, 0, upper - 1)].max(
+        (flat > 0).astype(jnp.int32)
+    )
+    seq = jnp.cumsum(present)  # seq[l] = sequential id of label l (if present)
+    new = seq[jnp.clip(flat, 0, upper - 1)]
+    new = jnp.where((flat > 0) & (new <= max_labels), new, 0)
+    return new.reshape(labels.shape).astype(jnp.int32)
+
+
 def num_labels(labels: jnp.ndarray) -> jnp.ndarray:
     return labels.max()
 
