@@ -37,6 +37,7 @@ from aliby_tpu.extract.reductions import (
     seg_max,
     seg_min,
     seg_sum,
+    seg_sum_cols,
     sorted_by_label,
     topk_mean_from_sorted,
     topk_median_from_sorted,
@@ -186,8 +187,7 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
     ypow = jnp.stack([st.yy**i for i in range(4)])  # (4, H, W)
     xpow = jnp.stack([st.xx**j for j in range(4)])
     prod = (ypow[:, None] * xpow[None, :]).reshape(16, -1).T  # (HW, 16)
-    acc = jnp.zeros((max_labels + 1, 16), jnp.float32)
-    acc = acc.at[labels.reshape(-1)].add(prod)[1:]  # (L, 16)
+    acc = seg_sum_cols(prod, labels, max_labels)  # (L, 16), one MXU pass
     sums = {}
     for i in range(4):
         for j in range(4):
@@ -206,8 +206,7 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
     ypow_c = jnp.stack([dyn**i for i in range(4)])
     xpow_c = jnp.stack([dxn**j for j in range(4)])
     prod_c = (ypow_c[:, None] * xpow_c[None, :]).reshape(16, -1).T
-    acc_c = jnp.zeros((max_labels + 1, 16), jnp.float32)
-    acc_c = acc_c.at[labels.reshape(-1)].add(prod_c)[1:]
+    acc_c = seg_sum_cols(prod_c, labels, max_labels)
     mu = {}
     for i in range(4):
         for j in range(4):
@@ -266,9 +265,10 @@ def intensity(
     img = img.astype(jnp.float32)
     st = LabelStats(labels, max_labels)
     present = st.present
-    total = seg_sum(img, labels, max_labels)
+    acc_i = seg_sum_cols(jnp.stack([img, img**2], axis=-1), labels, max_labels)
+    total = acc_i[:, 0]
     mean = total / st.safe_area
-    sq = seg_sum(img**2, labels, max_labels)
+    sq = acc_i[:, 1]
     var = jnp.maximum(sq / st.safe_area - mean**2, 0.0)
     std = jnp.sqrt(var)
     vmin = seg_min(img, labels, max_labels)

@@ -31,6 +31,30 @@ def seg_sum(values, labels, max_labels):
     return out.at[labels.reshape(-1)].add(values.reshape(-1))[1:]
 
 
+def seg_sum_cols(values, labels, max_labels):
+    """Per-label sums of K value columns in ONE multi-column scatter-add.
+
+    ``values``: (..., K) pixel columns, ``labels``: (...) int -> (L, K).
+
+    Batching K per-column scatters into one wide scatter rides contiguous
+    lanes (e.g. zernike's 60 columns: 339 -> 69 ms per 8-FOV batch).
+
+    On the one-hot-matmul alternative: measured in ISOLATION on v5e
+    (8 x 256^2 x 64 cols, amortized in-jit) the XLA one-hot dot at
+    ``Precision.HIGH`` is 3.5x faster than this scatter (1.5 ms vs 5.2 ms;
+    the Pallas kernel sits between at 3.5 ms) with better-than-f32-scatter
+    accuracy — but inside the big fused whole-step program the (HW, L)
+    one-hot materialization (67 MB/FOV/site, x3 bf16 passes) competes with
+    conv workspace for HBM and REGRESSED the end-to-end bench (light tree
+    5.32 -> 3.38 fov/s). Scatter is the right production formulation here;
+    ``ops/pallas_segsum.py`` documents the same finding for the kernel.
+    """
+    flat_l = labels.reshape(-1)
+    vals = values.reshape(flat_l.shape[0], -1).astype(jnp.float32)
+    out = jnp.zeros((max_labels + 1, vals.shape[1]), jnp.float32)
+    return out.at[flat_l].add(vals)[1:]
+
+
 def seg_min(values, labels, max_labels, init=jnp.inf):
     out = jnp.full(max_labels + 1, init, dtype=jnp.float32)
     return out.at[labels.reshape(-1)].min(values.reshape(-1).astype(jnp.float32))[1:]
@@ -54,11 +78,18 @@ class LabelStats:
         H, W = labels.shape
         self.yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
         self.xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-        self.area = counts(labels, max_labels)
-        self.present = self.area > 0
+        acc = seg_sum_cols(
+            jnp.stack(
+                [jnp.ones((H, W), jnp.float32), self.yy, self.xx], axis=-1
+            ),
+            labels,
+            max_labels,
+        )  # one 3-col MXU pass: area, sum(y), sum(x)
+        self.area = acc[:, 0]
+        self.present = self.area > 0.5
         safe_area = jnp.maximum(self.area, 1.0)
-        self.cy = seg_sum(self.yy, labels, max_labels) / safe_area
-        self.cx = seg_sum(self.xx, labels, max_labels) / safe_area
+        self.cy = acc[:, 1] / safe_area
+        self.cx = acc[:, 2] / safe_area
         self.safe_area = safe_area
 
     def centered_coords(self):
@@ -76,13 +107,17 @@ class LabelStats:
 
     def central_moments(self):
         """Second central moments (mu20, mu02, mu11) per label."""
-        l = self.labels
-        m = self.max_labels
         dy, dx = self.centered_coords()
-        mu20 = seg_sum(dy**2, l, m) / self.safe_area
-        mu02 = seg_sum(dx**2, l, m) / self.safe_area
-        mu11 = seg_sum(dy * dx, l, m) / self.safe_area
-        return mu20, mu02, mu11
+        acc = seg_sum_cols(
+            jnp.stack([dy**2, dx**2, dy * dx], axis=-1),
+            self.labels,
+            self.max_labels,
+        )
+        return (
+            acc[:, 0] / self.safe_area,
+            acc[:, 1] / self.safe_area,
+            acc[:, 2] / self.safe_area,
+        )
 
 
 def ellipse_params(mu20, mu02, mu11, area):

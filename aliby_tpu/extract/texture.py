@@ -28,7 +28,14 @@ import math
 import jax
 import jax.numpy as jnp
 
-from aliby_tpu.extract.reductions import LabelStats, counts, seg_max, seg_min, seg_sum
+from aliby_tpu.extract.reductions import (
+    LabelStats,
+    counts,
+    seg_max,
+    seg_min,
+    seg_sum,
+    seg_sum_cols,
+)
 
 # ---------------------------------------------------------------------------
 # Haralick texture
@@ -174,16 +181,50 @@ def _same_label_shift(arr, labels, dy, dx, fill):
     return jnp.where(sl == labels, sh, fill)
 
 
+_OFFS4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
+
+
+def _same_label_morph_ops(labels):
+    """Build (erode, dilate) closures with the same-label neighbor masks
+    precomputed ONCE — labels never change across the ~150 morphology passes
+    of a granularity spectrum, so re-padding/comparing them per pass (the
+    ``_same_label_shift`` path) wasted ~half the op count."""
+    H, W = labels.shape
+    l_pad = jnp.pad(labels, 1, constant_values=-1)
+    same = {
+        (dy, dx): l_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx] == labels
+        for dy, dx in _OFFS4
+    }
+
+    def erode(img):
+        a_pad = jnp.pad(img, 1, constant_values=jnp.inf)
+        out = img
+        for (dy, dx), m in same.items():
+            nb = a_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+            out = jnp.minimum(out, jnp.where(m, nb, jnp.inf))
+        return out
+
+    def dilate(img):
+        a_pad = jnp.pad(img, 1, constant_values=-jnp.inf)
+        out = img
+        for (dy, dx), m in same.items():
+            nb = a_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+            out = jnp.maximum(out, jnp.where(m, nb, -jnp.inf))
+        return out
+
+    return erode, dilate
+
+
 def _gray_erode(img, labels):
     out = img
-    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+    for dy, dx in _OFFS4:
         out = jnp.minimum(out, _same_label_shift(img, labels, dy, dx, jnp.inf))
     return out
 
 
 def _gray_dilate(img, labels):
     out = img
-    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+    for dy, dx in _OFFS4:
         out = jnp.maximum(out, _same_label_shift(img, labels, dy, dx, -jnp.inf))
     return out
 
@@ -195,21 +236,26 @@ def granularity(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, n_steps:
     fg = labels > 0
     present = counts(labels, max_labels) > 0
     masked = jnp.where(fg, img, 0.0)
-    start = seg_sum(masked, labels, max_labels)
-    safe_start = jnp.maximum(start, 1e-12)
+    erode, dilate = _same_label_morph_ops(labels)
 
     eroded = masked
-    prev_open_sum = start
-    out = {}
+    opened_cols = [masked]
     for k in range(1, n_steps + 1):
-        eroded = _gray_erode(eroded, labels)
+        eroded = erode(eroded)
         opened = eroded
         for _ in range(k):
-            opened = _gray_dilate(opened, labels)
-        open_sum = seg_sum(jnp.where(fg, opened, 0.0), labels, max_labels)
-        g = 100.0 * (prev_open_sum - open_sum) / safe_start
+            opened = dilate(opened)
+        opened_cols.append(jnp.where(fg, opened, 0.0))
+    # all n_steps+1 per-label sums in ONE one-hot MXU pass
+    sums = seg_sum_cols(jnp.stack(opened_cols, axis=-1), labels, max_labels)
+    start = sums[:, 0]
+    safe_start = jnp.maximum(start, 1e-12)
+    out = {}
+    prev = start
+    for k in range(1, n_steps + 1):
+        g = 100.0 * (prev - sums[:, k]) / safe_start
         out[f"Granularity_{k}"] = jnp.where(present, g, jnp.nan)
-        prev_open_sum = open_sum
+        prev = sums[:, k]
     return out
 
 
@@ -269,11 +315,7 @@ def _zernike_core(labels, weight, max_labels):
         cols.append(w * R * jnp.cos(m * theta))
         cols.append(w * R * jnp.sin(m * theta))
     vals = jnp.stack(cols, axis=-1).reshape(-1, 2 * len(pairs))  # (HW, 60)
-    acc = (
-        jnp.zeros((max_labels + 1, vals.shape[1]), jnp.float32)
-        .at[labels.reshape(-1)]
-        .add(vals)[1:]
-    )  # (L, 60)
+    acc = seg_sum_cols(vals, labels, max_labels)  # (L, 60), one MXU pass
     out = {}
     for i, (n, m) in enumerate(pairs):
         re, im = acc[:, 2 * i], acc[:, 2 * i + 1]

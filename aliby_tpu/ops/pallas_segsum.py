@@ -15,11 +15,18 @@ read-modify-write accumulation is safe).
 Falls back to interpreter mode off-TPU (used by the CPU test suite).
 
 Status: validated on the v5e chip (numerics match the scatter formulation
-at f32 fidelity with HIGHEST-precision MXU passes). On this environment's
-remote-attached chip both formulations measure at the ~32 ms per-call
-dispatch floor, so the kernel is not wired into the default feature path
-yet; it becomes the drop-in replacement for ``reductions.seg_sum`` batches
-on locally-attached hardware where scatter throughput dominates.
+at f32 fidelity with HIGHEST-precision MXU passes) and MEASURED against
+the alternatives, amortized in-jit (8 FOVs x 256^2 x 64 cols so the
+dispatch floor cancels): scatter-add 5.2 ms, this kernel 3.5 ms, a plain
+XLA one-hot ``dot_general`` at ``Precision.HIGH`` 1.5 ms. The XLA dot
+formulation beats the hand-written kernel (better pipelining of the
+one-hot materialization); BUT inside the fused whole-step program the
+(HW, L) one-hot competes with conv workspace for HBM and regressed the
+end-to-end bench (light tree 5.3 -> 3.4 fov/s), so production
+(``reductions.seg_sum_cols``) uses the multi-column scatter, which wins
+in composition. This kernel is kept as the reference implementation of
+the matmul formulation for locally-attached / larger-VMEM parts where
+the trade-off may flip.
 """
 
 from __future__ import annotations

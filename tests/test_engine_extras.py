@@ -81,3 +81,17 @@ def test_dispatch_global_step():
     assert "track_id" in table.column_names
     with pytest.raises(ValueError):
         dispatch_global_step("mystery_step")
+
+
+def test_should_compile_auto_and_explicit(monkeypatch):
+    """compiled: unset -> AUTO (accelerator yes, cpu no); explicit wins."""
+    import jax
+
+    from aliby_tpu.engine.core import _should_compile
+
+    assert _should_compile({"compiled": True}) is True
+    assert _should_compile({"compiled": False}) is False
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert _should_compile({}) is False
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _should_compile({}) is True
