@@ -1,5 +1,6 @@
 """Label primitives vs scipy ground truth."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.ndimage as ndi
@@ -82,3 +83,42 @@ def test_pallas_segment_sum_matches_scatter():
     np.add.at(ref, labels, values)
     out = np.asarray(segment_sum_auto(values, labels, 16))
     np.testing.assert_allclose(out, ref[1:], rtol=1e-4, atol=1e-3)
+
+
+def test_connected_components_hybrid_matches_hook_cc():
+    """The hybrid (local sweep + hook finish) CC equals the full hook+jump
+    CC on small blobs AND on large/elongated components."""
+    import numpy as np
+
+    from aliby_tpu.ops.labels import (
+        connected_components,
+        connected_components_hybrid,
+    )
+
+    rng = np.random.default_rng(3)
+    mask = np.zeros((128, 128), bool)
+    for _ in range(40):  # scattered blobs up to ~9 px extent
+        cy, cx = rng.integers(6, 122, 2)
+        r = rng.integers(1, 5)
+        yy, xx = np.ogrid[:128, :128]
+        mask |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+    a = np.asarray(connected_components(jnp.asarray(mask), 2, 24))
+    b = np.asarray(connected_components_hybrid(jnp.asarray(mask)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_connected_components_hybrid_large_and_snake_components():
+    import numpy as np
+
+    from aliby_tpu.ops.labels import (
+        connected_components,
+        connected_components_hybrid,
+    )
+
+    mask = np.zeros((128, 128), bool)
+    mask[20:80, 20:80] = True          # 60x60 solid block
+    mask[100, 5:120] = True            # 115-px snake
+    mask[5:60, 110] = True             # vertical snake
+    a = np.asarray(connected_components(jnp.asarray(mask), 2, 24))
+    b = np.asarray(connected_components_hybrid(jnp.asarray(mask)))
+    np.testing.assert_array_equal(a, b)
