@@ -63,8 +63,74 @@ def main():
                 f"({time.time() - t0:.0f}s)",
                 flush=True,
             )
-    save_params(params, BUNDLED_WEIGHTS)
-    print(f"saved {BUNDLED_WEIGHTS}", flush=True)
+
+    # Held-out IoU gate: only overwrite the bundle if the candidate is at
+    # least as good as the incumbent on BOTH held-out sets (plain fields
+    # and budding movies) — an unlucky run must not regress the shipped
+    # weights.
+    cand_path = BUNDLED_WEIGHTS.with_suffix(".candidate.msgpack")
+    save_params(params, cand_path)
+    new_scores = heldout_iou(cand_path)
+    old_scores = heldout_iou(BUNDLED_WEIGHTS) if resumed else {"plain": 0, "budding": 0}
+    print(f"held-out IoU: old={old_scores} new={new_scores}", flush=True)
+    if (
+        new_scores["plain"] >= old_scores["plain"] - 0.005
+        and new_scores["budding"] >= old_scores["budding"]
+    ):
+        save_params(params, BUNDLED_WEIGHTS)
+        cand_path.unlink()
+        print(f"saved {BUNDLED_WEIGHTS}", flush=True)
+    else:
+        print(
+            f"REJECTED (kept incumbent); candidate left at {cand_path}",
+            flush=True,
+        )
+
+
+def heldout_iou(weights_path, n_plain: int = 6, n_budding: int = 6) -> dict:
+    """Mean best-match IoU per GT object on fixed held-out renders."""
+    import numpy as np
+
+    from aliby_tpu.models.segment import CellposeTPU
+    from aliby_tpu.test_data import render_budding_movie, render_cells
+
+    eng = CellposeTPU(pretrained_path=weights_path)
+    rng = np.random.default_rng(987654)  # FIXED seed: same held-out set always
+
+    def mean_iou(img2, gt):
+        pred = eng.segment_tiles(img2[None])[0]
+        scores = []
+        for l in range(1, int(gt.max()) + 1):
+            g = gt == l
+            if not g.any():
+                continue
+            cand = np.bincount(pred[g].reshape(-1))
+            cand[0] = 0
+            best = 0.0
+            if cand.size > 1 and cand.max() > 0:
+                pl = int(cand.argmax())
+                p = pred == pl
+                best = (g & p).sum() / (g | p).sum()
+            scores.append(best)
+        return float(np.mean(scores)) if scores else 0.0
+
+    plain = []
+    for _ in range(n_plain):
+        cells, nuclei, labels = render_cells(128, int(rng.integers(6, 16)), rng)
+        noise = rng.normal(0, 0.03, cells.shape).astype(np.float32)
+        img2 = np.stack([cells + noise, nuclei + noise])
+        plain.append(mean_iou(img2, labels))
+    budding = []
+    for _ in range(n_budding):
+        frames, labels_t, _ = render_budding_movie(
+            128, 3, rng, n_mothers=int(rng.integers(4, 9))
+        )
+        img2 = np.stack([frames[-1].astype(np.float32), np.zeros_like(frames[-1], np.float32)])
+        budding.append(mean_iou(img2, labels_t[-1]))
+    return {
+        "plain": round(float(np.mean(plain)), 4),
+        "budding": round(float(np.mean(budding)), 4),
+    }
 
 
 if __name__ == "__main__":
