@@ -27,9 +27,16 @@ if "aliby_tpu" not in sys.modules:
     except ImportError:
         sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
 from tempfile import mkdtemp
 
 import jax
+
+# Some environments force-register an accelerator plugin at interpreter
+# startup; env vars alone then lose. Honor the documented invocation.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import pyarrow.parquet as pq
 
 from aliby_tpu.io.dataset import DatasetDir
