@@ -31,6 +31,17 @@ def try_compile(pipeline: dict, tiler, init_step_fn) -> "CompiledStep | None":
     ]
     if not seg_names or not ext_names:
         return None
+    # CompiledStep.run_tp executes ONLY these step families; any other
+    # per-tp step (embed*, nahual_*, ...) would be silently skipped and its
+    # state/profile columns lost — refuse, fall back to interpretation.
+    covered = {"tile", *seg_names, *ext_names, *track_names}
+    uncovered = [n for n in steps if n not in covered]
+    if uncovered:
+        logger.warning(
+            "compiled mode unavailable (steps not coverable: %s); interpreting",
+            uncovered,
+        )
+        return None
     passed_methods = pipeline.get("passed_methods", {})
     passed_data = pipeline.get("passed_data", {})
     from aliby_tpu.engine.fused import FusedObject, compile_fused_step

@@ -172,23 +172,14 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
 # ---------------------------------------------------------------------------
 
 
-def _same_label_shift(arr, labels, dy, dx, fill):
-    H, W = arr.shape
-    a_pad = jnp.pad(arr, 1, constant_values=fill)
-    l_pad = jnp.pad(labels, 1, constant_values=-1)
-    sh = a_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
-    sl = l_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
-    return jnp.where(sl == labels, sh, fill)
-
-
 _OFFS4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
 
 
 def _same_label_morph_ops(labels):
     """Build (erode, dilate) closures with the same-label neighbor masks
     precomputed ONCE — labels never change across the ~150 morphology passes
-    of a granularity spectrum, so re-padding/comparing them per pass (the
-    ``_same_label_shift`` path) wasted ~half the op count."""
+    of a granularity spectrum, so re-padding/comparing them per pass wasted
+    ~half the op count."""
     H, W = labels.shape
     l_pad = jnp.pad(labels, 1, constant_values=-1)
     same = {
@@ -213,20 +204,6 @@ def _same_label_morph_ops(labels):
         return out
 
     return erode, dilate
-
-
-def _gray_erode(img, labels):
-    out = img
-    for dy, dx in _OFFS4:
-        out = jnp.minimum(out, _same_label_shift(img, labels, dy, dx, jnp.inf))
-    return out
-
-
-def _gray_dilate(img, labels):
-    out = img
-    for dy, dx in _OFFS4:
-        out = jnp.maximum(out, _same_label_shift(img, labels, dy, dx, -jnp.inf))
-    return out
 
 
 @functools.partial(jax.jit, static_argnames=("max_labels", "n_steps"))

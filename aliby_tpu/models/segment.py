@@ -139,7 +139,7 @@ class CellposeTPU:
         pretrained_path: str | Path | None = None,
         model_kwargs: dict | None = None,
         cellprob_threshold: float = 0.0,
-        flow_iters: int = 2,
+        flow_iters: int | None = None,
         max_labels: int = 256,
         min_size: int = 15,
     ):
@@ -175,6 +175,13 @@ class CellposeTPU:
                     "CellposeTPU running with untrained weights; pass "
                     "pretrained_path or bundle weights for real masks."
                 )
+        if flow_iters is None:
+            # 2 Euler steps (+2^8 pointer-doubled successor steps) is
+            # validated against the bundled/flax training pipeline (masks
+            # unchanged vs 8 on held-out renders); ported torch Cellpose
+            # checkpoints keep the conservative 8 — their flow statistics
+            # were never validated at the shorter schedule.
+            flow_iters = 8 if is_torch_ckpt else 2
         self.params = params
         self.cellprob_threshold = cellprob_threshold
         self.flow_iters = flow_iters
@@ -238,7 +245,7 @@ def _make_cellpose_segmenter(
         pretrained_path=kwargs.get("pretrained_path"),
         model_kwargs=kwargs.get("model_kwargs"),
         cellprob_threshold=kwargs.get("cellprob_threshold", 0.0),
-        flow_iters=kwargs.get("flow_iters", 2),
+        flow_iters=kwargs.get("flow_iters"),  # None -> per-checkpoint auto
         max_labels=kwargs.get("max_labels", 256),
         min_size=kwargs.get("min_size", 15),
     )

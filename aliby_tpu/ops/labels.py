@@ -110,9 +110,11 @@ def relabel_sequential(labels: jnp.ndarray, max_labels: int) -> tuple[jnp.ndarra
     return new_flat.reshape(labels.shape).astype(jnp.int32), forward
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity", "n_local", "n_hook"))
+@functools.partial(
+    jax.jit, static_argnames=("connectivity", "n_local", "max_hook")
+)
 def connected_components_hybrid(
-    mask: jnp.ndarray, connectivity: int = 2, n_local: int = 8, n_hook: int = 3
+    mask: jnp.ndarray, connectivity: int = 2, n_local: int = 8, max_hook: int = 64
 ) -> jnp.ndarray:
     """CC tuned for mostly-small components: cheap local sweep, exact finish.
 
@@ -123,12 +125,12 @@ def connected_components_hybrid(
     fixtures, but without a second channel they reach 20+ px — a fixed
     local budget silently oversegments).
 
-    Phase 2 — ``n_hook`` hook+pointer-jump rounds (the
-    :func:`connected_components` body) finish the large stragglers: after
-    the local sweep, same-component label runs have length >= n_local, and
-    each hook round multiplies the converged reach ~4x -> exact for
-    components up to ~n_local * 4**n_hook (~512 px geodesic at the
-    defaults — beyond any seed blob a 256^2 field can produce).
+    Phase 2 — hook+pointer-jump rounds (the :func:`connected_components`
+    body) run UNTIL STABLE inside a ``lax.while_loop`` (each round ~4x the
+    converged reach, so trip counts stay logarithmic): typical seed maps
+    converge in 1-3 rounds, and a full-field serpentine component still
+    labels exactly instead of silently fracturing. ``max_hook`` is a
+    termination backstop far above log4 of any pixel count.
 
     Measured on v5e (8-FOV flow-sink batch): pure hook+jump(6) ~92 ms,
     this hybrid ~50 ms. Same label convention (min pixel index + 1).
@@ -147,7 +149,7 @@ def connected_components_hybrid(
         safe = jnp.clip(flat, 0, hw - 1)
         return jnp.where(flat < _BIG, jnp.minimum(flat, flat[safe]), _BIG)
 
-    def hook_body(_, lbl):
+    def hook_round(lbl):
         nmin = jnp.where(mask, _neighbor_min(lbl, connectivity), _BIG)
         flat = lbl.reshape(-1)
         nflat = nmin.reshape(-1)
@@ -158,7 +160,20 @@ def connected_components_hybrid(
         flat = jump(jump(flat))
         return flat.reshape(h, w)
 
-    lbl = jax.lax.fori_loop(0, n_hook, hook_body, lbl)
+    def cond(state):
+        i, changed, _ = state
+        return changed & (i < max_hook)
+
+    def body(state):
+        i, _, lbl = state
+        new = hook_round(lbl)
+        return i + 1, jnp.any(new != lbl), new
+
+    # one unconditional round, then iterate while anything still changes
+    first = hook_round(lbl)
+    _, _, lbl = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), jnp.any(first != lbl), first)
+    )
     return jnp.where(mask, lbl + 1, 0).astype(jnp.int32)
 
 

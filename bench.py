@@ -21,10 +21,11 @@ published Cellpose architecture, independently authored in
 ``tests/test_cpnet_port.py``) plus the per-object scipy oracle feature
 pass (``tests/oracle_features.py`` — the same masked-crop-per-object
 formulation cp_measure/CellProfiler use, looped per object like the
-reference executor). Measured 2026-08-16, 1-core Xeon 2.1 GHz:
-full bank 0.178 FOV/s PER CORE (5.33 s/FOV features + 2x0.14 s forwards;
-flow dynamics excluded -> conservative), light tree 1.73 FOV/s per core.
-``vs_baseline`` = full-bank throughput / 0.178 (a PER-CORE ratio; an
+reference executor, over BOTH segmented objects as in this bench).
+Measured 2026-08-17, 1-core Xeon 2.1 GHz: full bank 0.129 FOV/s PER CORE
+(7.48 s/FOV features + 2x0.13 s forwards; flow dynamics excluded ->
+conservative), light tree 1.24 FOV/s per core.
+``vs_baseline`` = full-bank throughput / 0.129 (a PER-CORE ratio; an
 N-core reference node scales the denominator by ~N, a v5e-8 slice scales
 the numerator by ~8 via position data-parallelism - the mesh pipeline
 runner shards positions with no cross-position coupling).
@@ -43,8 +44,8 @@ import numpy as np
 
 # Measured in-kind single-CORE reference-workalike throughput (see module
 # docstring + scripts/measure_reference_baseline.py). The old 0.4 light-tree
-# estimate is retired; full-bank measured = 0.178 FOV/s/core.
-BASELINE_FOV_TP_PER_S = 0.178
+# estimate is retired; full-bank measured = 0.129 FOV/s/core (both objects).
+BASELINE_FOV_TP_PER_S = 0.129
 PEAK_FLOPS = {  # per chip, bf16 matmul peak
     "tpu v5 lite": 197e12,
     "tpu v5e": 197e12,
@@ -226,7 +227,7 @@ def main():
                 "unit": (
                     "fov-timepoints/s (2x segment + FULL default feature bank"
                     " + coloc, 256x256 5ch); vs_baseline is vs MEASURED"
-                    " in-kind single-CORE CPU reference-workalike (0.178)"
+                    " in-kind single-CORE CPU reference-workalike (0.129)"
                 ),
                 "vs_baseline": round(fov_tp_per_s / BASELINE_FOV_TP_PER_S, 2),
             }

@@ -49,8 +49,11 @@ def main(n_fovs: int = 2):
         ch3 = cells + noise()
         from scipy import ndimage
 
-        labels, _ = ndimage.label(nuclei > 0.3)
-        fields.append((ch0, ch3, labels))
+        # TWO object sets, matching the TPU bench's two segmented objects
+        # (nuclei + cell) — each gets the full per-object feature pass.
+        labels_nuc, _ = ndimage.label(nuclei > 0.3)
+        labels_cell, _ = ndimage.label(cells > 0.3)
+        fields.append((ch0, ch3, (labels_nuc, labels_cell)))
 
     # ---- torch CPnet forward (reference segmentation's compute core) ----
     t_fwd = None
@@ -79,21 +82,22 @@ def main(n_fovs: int = 2):
     # ---- per-object scipy feature pass (reference executor style) ----
     def run_features(full: bool):
         t0 = time.perf_counter()
-        for ch0, ch3, labels in fields:
-            for lab in range(1, labels.max() + 1):
-                mask = labels == lab
-                O.o_sizeshape(mask)
-                for img in (ch0, ch3):
-                    O.o_intensity(mask, img, edge_measurements=False)
-                O.o_pearson(mask, ch0, ch3)
-                O.o_manders_fold(mask, ch0, ch3)
-                O.o_rwc(mask, ch0, ch3)
-                if full:
+        for ch0, ch3, labelings in fields:
+            for labels in labelings:  # both objects, as in bench.py
+                for lab in range(1, labels.max() + 1):
+                    mask = labels == lab
+                    O.o_sizeshape(mask)
                     for img in (ch0, ch3):
-                        O.o_texture(mask, img)
-                        O.o_granularity(mask, img)
-                        O.o_zernike(mask, img)
-                        O.o_radial_distribution(mask, img)
+                        O.o_intensity(mask, img, edge_measurements=False)
+                    O.o_pearson(mask, ch0, ch3)
+                    O.o_manders_fold(mask, ch0, ch3)
+                    O.o_rwc(mask, ch0, ch3)
+                    if full:
+                        for img in (ch0, ch3):
+                            O.o_texture(mask, img)
+                            O.o_granularity(mask, img)
+                            O.o_zernike(mask, img)
+                            O.o_radial_distribution(mask, img)
         return (time.perf_counter() - t0) / len(fields)
 
     t_light = run_features(full=False)

@@ -19,13 +19,14 @@ import numpy as np
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    budding = 0.0
+    if "--budding" in argv:
+        i = argv.index("--budding")
+        budding = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]  # drop the flag AND its value
+    args = [a for a in argv if not a.startswith("--")]
     n_steps = int(args[0]) if args else 400
-    budding = (
-        float(sys.argv[sys.argv.index("--budding") + 1])
-        if "--budding" in sys.argv
-        else 0.0
-    )
     import jax
     import optax
 

@@ -95,3 +95,23 @@ def test_should_compile_auto_and_explicit(monkeypatch):
     assert _should_compile({}) is False
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert _should_compile({}) is True
+
+
+def test_try_compile_refuses_uncovered_steps():
+    """Pipelines with per-tp steps CompiledStep cannot execute (embed*,
+    nahual_*) must fall back to interpretation, not silently drop them."""
+    from aliby_tpu.engine.compiled import try_compile
+
+    pipeline = {
+        "steps": {
+            "tile": {},
+            "segment_cell": {"channel_to_segment": 0},
+            "extract_cell": {"tree": {}},
+            "embed_x": {},
+        },
+        "passed_methods": {"segment_cell": ("tile", "get_fczyx")},
+        "passed_data": {
+            "extract_cell": [("masks", "segment_cell"), ("pixels", "tile")],
+        },
+    }
+    assert try_compile(pipeline, None, None) is None
