@@ -22,7 +22,40 @@ import numpy as np
 logger = logging.getLogger("aliby_tpu")
 
 
+_COMPILED_CACHE: dict = {}
+
+
+def _pipeline_signature(pipeline: dict) -> str:
+    """Position-independent signature: everything try_compile consumes
+    except the tile step's ``image_kwargs`` (the only per-position stamp).
+    Positions of one plate share the fused program instead of re-tracing
+    it (tracing the full default bank costs ~10-30 s host time each)."""
+    steps = {
+        name: {k: v for k, v in params.items() if k != "image_kwargs"}
+        for name, params in pipeline["steps"].items()
+    }
+    return repr(
+        (
+            sorted((n, repr(p)) for n, p in steps.items()),
+            repr(pipeline.get("passed_methods", {})),
+            repr(pipeline.get("passed_data", {})),
+        )
+    )
+
+
 def try_compile(pipeline: dict, tiler, init_step_fn) -> "CompiledStep | None":
+    sig = _pipeline_signature(pipeline)
+    if sig in _COMPILED_CACHE:
+        return _COMPILED_CACHE[sig]
+    compiled = _try_compile_uncached(pipeline, tiler, init_step_fn)
+    if len(_COMPILED_CACHE) < 16:  # bounded; plates reuse one entry
+        _COMPILED_CACHE[sig] = compiled
+    return compiled
+
+
+def _try_compile_uncached(
+    pipeline: dict, tiler, init_step_fn
+) -> "CompiledStep | None":
     steps = pipeline["steps"]
     seg_names = [n for n in steps if n.startswith("segment")]
     ext_names = [n for n in steps if n.startswith("extract")]

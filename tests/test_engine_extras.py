@@ -115,3 +115,32 @@ def test_try_compile_refuses_uncovered_steps():
         },
     }
     assert try_compile(pipeline, None, None) is None
+
+
+def test_try_compile_cached_across_positions():
+    """Positions differing only in tile.image_kwargs share ONE CompiledStep
+    (re-tracing the fused program per position costs ~10-30 s host each)."""
+    from copy import deepcopy
+
+    from aliby_tpu.engine import compiled as C
+
+    base = {
+        "steps": {
+            "tile": {"tile_size": None, "image_kwargs": {"source": "A"}},
+            "segment_cell": {
+                "channel_to_segment": 0,
+                "segmenter_kwargs": {"kind": "cellpose"},
+            },
+            "extract_cell": {"tree": {"None": {"None": ["area"]}}, "kwargs": {}},
+        },
+        "passed_methods": {"segment_cell": ("tile", "get_fczyx")},
+        "passed_data": {
+            "extract_cell": [("masks", "segment_cell"), ("pixels", "tile")],
+        },
+    }
+    other = deepcopy(base)
+    other["steps"]["tile"]["image_kwargs"] = {"source": "B"}
+    assert C._pipeline_signature(base) == C._pipeline_signature(other)
+    a = C.try_compile(base, None, None)
+    b = C.try_compile(other, None, None)
+    assert a is not None and a is b
