@@ -10,8 +10,9 @@ is jit-native:
   with bilinear sampling, as a ``lax.scan`` (no data-dependent trip counts).
 - ``masks_from_flows``: pixels that converged to the same sink become one
   object — sink histogram, seed dilation, connected components on the seed
-  map (pointer-doubling CC), per-pixel basin lookup, small-object removal,
-  sequential relabeling. Replaces cellpose's ``get_masks`` + QC.
+  map (hybrid local-sweep + hook/jump CC), per-pixel basin lookup,
+  small-object removal, sort-free dense relabeling. Replaces cellpose's
+  ``get_masks`` + QC.
 """
 
 from __future__ import annotations
