@@ -180,16 +180,19 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
         "AreaShape_Perimeter": perimeter,
         "AreaShape_Solidity": area / jnp.maximum(convex_area, 1.0),
     }
-    # Spatial / central / normalized moments + Hu moments (CellProfiler
-    # grid). All 16 y^i x^j products go through ONE (HW, 16) scatter-add —
-    # 1/16th the HLO count of per-moment scatters (compile time matters on
-    # the single-core host).
+    # Spatial / central / normalized moments + Hu moments + inertia tensor
+    # (the exact CellProfiler MeasureObjectSizeShape 2-D advanced-feature
+    # grid: SpatialMoment/CentralMoment over i<=2 x j<=3, NormalizedMoment
+    # over (0..3)^2, 7 Hu moments, 2x2 InertiaTensor + eigenvalues). All 16
+    # y^i x^j products go through ONE (HW, 16) scatter-add — 1/16th the HLO
+    # count of per-moment scatters (compile time matters on the single-core
+    # host).
     ypow = jnp.stack([st.yy**i for i in range(4)])  # (4, H, W)
     xpow = jnp.stack([st.xx**j for j in range(4)])
     prod = (ypow[:, None] * xpow[None, :]).reshape(16, -1).T  # (HW, 16)
     acc = seg_sum_cols(prod, labels, max_labels)  # (L, 16), one MXU pass
     sums = {}
-    for i in range(4):
+    for i in range(3):
         for j in range(4):
             sums[(i, j)] = acc[:, i * 4 + j]
             out[f"AreaShape_SpatialMoment_{i}_{j}"] = sums[(i, j)]
@@ -211,7 +214,8 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
     for i in range(4):
         for j in range(4):
             mu[(i, j)] = acc_c[:, i * 4 + j] * s_lbl ** (i + j)
-            out[f"AreaShape_CentralMoment_{i}_{j}"] = mu[(i, j)]
+            if i <= 2:
+                out[f"AreaShape_CentralMoment_{i}_{j}"] = mu[(i, j)]
     eta = {}
     for i in range(4):
         for j in range(4):
@@ -238,15 +242,23 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
     )
     for idx, h in enumerate((hu0, hu1, hu2, hu3, hu4, hu5, hu6)):
         out[f"AreaShape_HuMoment_{idx}"] = h
-    # CellProfiler's MeasureObjectSizeShape also emits binary-shape Zernike
-    # magnitudes (calculate_zernikes default True) — part of the reference
-    # example's 632-column anchor
-    from aliby_tpu.extract.texture import _zernike_core
-
-    for (n, m), v in _zernike_core(
-        labels, jnp.ones_like(labels, jnp.float32), max_labels
-    ).items():
-        out[f"AreaShape_Zernike_{n}_{m}"] = v
+    # Inertia tensor (skimage regionprops convention CP re-exports):
+    # [[mu20, -mu11], [-mu11, mu02]] / mu00, eigenvalues descending.
+    t00 = mu[(2, 0)] / st.safe_area
+    t01 = -mu[(1, 1)] / st.safe_area
+    t11 = mu[(0, 2)] / st.safe_area
+    out["AreaShape_InertiaTensor_0_0"] = t00
+    out["AreaShape_InertiaTensor_0_1"] = t01
+    out["AreaShape_InertiaTensor_1_0"] = t01
+    out["AreaShape_InertiaTensor_1_1"] = t11
+    half_tr = (t00 + t11) / 2.0
+    disc = jnp.sqrt(jnp.maximum(((t00 - t11) / 2.0) ** 2 + t01**2, 0.0))
+    out["AreaShape_InertiaTensorEigenvalues_0"] = half_tr + disc
+    out["AreaShape_InertiaTensorEigenvalues_1"] = half_tr - disc
+    # NOTE: binary-shape Zernike magnitudes are NOT part of cp_measure's
+    # "sizeshape" — upstream splits them into the separate "zernike"
+    # feature (the 632-column anchor decomposes as 6x78 sizeshape +
+    # 5x16 intensity + 10x8 coloc + 4 metadata).
     return {k: _nanpad(v, present) for k, v in out.items()}
 
 
@@ -321,8 +333,10 @@ def intensity(
         "Intensity_MassDisplacement": mass_disp,
         "Location_CenterMassIntensity_X": wcx,
         "Location_CenterMassIntensity_Y": wcy,
+        "Location_CenterMassIntensity_Z": jnp.zeros_like(wcx),
         "Location_MaxIntensity_X": max_x,
         "Location_MaxIntensity_Y": max_y,
+        "Location_MaxIntensity_Z": jnp.zeros_like(max_x),
     }
     if edge_measurements:
         edge = boundary_mask(labels)

@@ -9,10 +9,11 @@ is jit-native:
 - ``follow_flows``: fixed-iteration Euler integration of predicted flows
   with bilinear sampling, as a ``lax.scan`` (no data-dependent trip counts).
 - ``masks_from_flows``: pixels that converged to the same sink become one
-  object — sink histogram, seed dilation, connected components on the seed
-  map (hybrid local-sweep + hook/jump CC), per-pixel basin lookup,
-  small-object removal, sort-free dense relabeling. Replaces cellpose's
-  ``get_masks`` + QC.
+  object — the published cellpose ``compute_masks`` stage order (histogram
+  local-max seeds, 5-round corridor expansion, megamask removal, optional
+  flow-error QC, hole filling + min-size removal), reformulated as
+  sort-free/gather-light lexicographic key propagation. Gated against the
+  independent NumPy oracle in ``tests/oracle_dynamics.py``.
 """
 
 from __future__ import annotations
@@ -34,39 +35,89 @@ def _same_label_shift(arr, labels, dy, dx, fill=0.0):
     return jnp.where(sl == labels, sh, jnp.nan)
 
 
+@functools.partial(jax.jit, static_argnames=("n_iter", "max_labels"))
+def label_median_centers(
+    labels: jnp.ndarray, max_labels: int = 512, n_iter: int = 0
+) -> jnp.ndarray:
+    """(H, W) labels -> (H, W) bool map of each object's center pixel.
+
+    Published cellpose center definition: the object pixel closest to the
+    per-object coordinate median (``np.median(y), np.median(x)`` snapped to
+    the nearest in-object pixel; ties -> first in raster order). Medians
+    come from per-label coordinate histograms (integer coordinates), not a
+    sort: one (L, H) + one (L, W) scatter, cumsum, midpoint lookup.
+    """
+    del n_iter
+    H, W = labels.shape
+    flat_l = jnp.clip(labels.reshape(-1), 0, max_labels)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    fgf = (labels > 0).reshape(-1)
+
+    def coord_median(coords, size):
+        hist = jnp.zeros((max_labels + 1) * size, jnp.int32).at[
+            flat_l * size + coords.reshape(-1)
+        ].add(fgf.astype(jnp.int32)).reshape(max_labels + 1, size)
+        cum = jnp.cumsum(hist, axis=1)
+        n = cum[:, -1]
+        # np.median: average of the ceil(n/2)-th and floor(n/2)+1-th order
+        # statistics (1-indexed) for even n; the middle one for odd n.
+        k_lo = (n + 1) // 2
+        k_hi = n // 2 + 1
+        lo = jnp.argmax(cum >= k_lo[:, None], axis=1)
+        hi = jnp.argmax(cum >= k_hi[:, None], axis=1)
+        return (lo + hi).astype(jnp.float32) / 2.0  # (L+1,)
+
+    ymed = coord_median(yy, H)
+    xmed = coord_median(xx, W)
+    # snap to the nearest in-object pixel, ties -> first in raster order.
+    # d2 is quarter-integer valued; x4 makes it exactly int32.
+    d2i = (
+        (2 * yy - 2 * ymed[flat_l].reshape(H, W)).astype(jnp.int32) ** 2
+        + (2 * xx - 2 * xmed[flat_l].reshape(H, W)).astype(jnp.int32) ** 2
+    ).reshape(-1)
+    best_d = jnp.full(max_labels + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
+        jnp.where(fgf, flat_l, 0)
+    ].min(jnp.where(fgf, d2i, jnp.iinfo(jnp.int32).max))
+    at_best = fgf & (d2i == best_d[flat_l])
+    pos = jnp.arange(H * W, dtype=jnp.int32)
+    first = jnp.full(max_labels + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
+        jnp.where(at_best, flat_l, 0)
+    ].min(jnp.where(at_best, pos, jnp.iinfo(jnp.int32).max))
+    is_center = at_best & (pos == first[flat_l]) & (flat_l > 0)
+    return is_center.reshape(H, W)
+
+
 @functools.partial(jax.jit, static_argnames=("n_iter",))
 def masks_to_flows(labels: jnp.ndarray, n_iter: int = 96) -> jnp.ndarray:
-    """(H, W) labels -> (2, H, W) unit flow field pointing at object centers."""
+    """(H, W) labels -> (2, H, W) unit flow field pointing at object centers.
+
+    The published cellpose training-target construction (Stringer et al.
+    2021 ``dynamics.masks_to_flows``): heat diffusion from each object's
+    median-center pixel — per iteration the center gains +1 and every
+    object pixel becomes the mean of its 3x3 neighborhood with absorbing
+    (zero) boundaries outside the object — then the unit-normalized
+    gradient of log1p(heat). Whole-image formulation: same-label masked
+    shifts reproduce cellpose's per-object crops exactly (a different
+    touching object reads as 0, like the crop edge). Fixed ``n_iter``
+    replaces cellpose's per-object size-scaled iteration count (static
+    shapes for jit); 96 keeps normalized gradients well-formed out to
+    radius ~100 px in float32.
+    """
     H, W = labels.shape
     fg = labels > 0
-    from aliby_tpu.ops.edt import edt_to_other_label
-
-    # Center = in-label pixel maximizing interior distance (ties -> first).
-    nn = edt_to_other_label(labels)
-    flat_l = labels.reshape(-1)
-    flat_nn = nn.reshape(-1)
-    pos = jnp.arange(H * W, dtype=jnp.float32)
-    packed = flat_nn * (H * W) - pos  # prefer deeper, then earlier pixels
-    max_labels = 512
-    best = jnp.full(max_labels + 1, -jnp.inf).at[
-        jnp.clip(flat_l, 0, max_labels)
-    ].max(jnp.where(flat_l > 0, packed, -jnp.inf))
-    best_px = best[jnp.clip(flat_l, 0, max_labels)]
-    is_center = (packed == best_px) & (flat_l > 0)
-    center_map = is_center.reshape(H, W)
-
-    source = center_map.astype(jnp.float32)
+    source = label_median_centers(labels).astype(jnp.float32)
 
     def body(_, T):
         T = T + source
         acc = T
-        cnt = jnp.ones_like(T)
-        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            nb = _same_label_shift(T, labels, dy, dx)
-            ok = ~jnp.isnan(nb)
-            acc = acc + jnp.where(ok, nb, 0.0)
-            cnt = cnt + ok
-        return jnp.where(fg, acc / cnt, 0.0)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = _same_label_shift(T, labels, dy, dx)
+                acc = acc + jnp.where(jnp.isnan(nb), 0.0, nb)
+        return jnp.where(fg, acc / 9.0, 0.0)
 
     T = jax.lax.fori_loop(0, n_iter, body, jnp.zeros((H, W), jnp.float32))
     logT = jnp.log1p(T)
@@ -74,15 +125,15 @@ def masks_to_flows(labels: jnp.ndarray, n_iter: int = 96) -> jnp.ndarray:
     def grad_axis(dy, dx):
         plus = _same_label_shift(logT, labels, dy, dx)
         minus = _same_label_shift(logT, labels, -dy, -dx)
-        plus = jnp.where(jnp.isnan(plus), logT, plus)
-        minus = jnp.where(jnp.isnan(minus), logT, minus)
+        plus = jnp.where(jnp.isnan(plus), 0.0, plus)
+        minus = jnp.where(jnp.isnan(minus), 0.0, minus)
         return (plus - minus) / 2.0
 
     gy = grad_axis(1, 0)
     gx = grad_axis(0, 1)
     mag = jnp.sqrt(gy**2 + gx**2)
-    gy = jnp.where(fg, gy / jnp.maximum(mag, 1e-6), 0.0)
-    gx = jnp.where(fg, gx / jnp.maximum(mag, 1e-6), 0.0)
+    gy = jnp.where(fg, gy / jnp.maximum(mag, 1e-20), 0.0)
+    gx = jnp.where(fg, gx / jnp.maximum(mag, 1e-20), 0.0)
     return jnp.stack([gy, gx])
 
 
@@ -142,6 +193,8 @@ def follow_flows(
         sx = jnp.clip(jnp.round(xx + flows[1].reshape(-1)), 0, W - 1)
         succ = (sy * W + sx).astype(jnp.int32)
 
+        succ1 = succ
+
         def double(_, s):
             return s[s]
 
@@ -152,6 +205,13 @@ def follow_flows(
             + jnp.clip(jnp.round(px), 0, W - 1)
         ).astype(jnp.int32)
         final = succ[start]
+        # The rounded successor map converges to short cycles around each
+        # sink (typically 2-cycles straddling the center); pixels land on
+        # either cycle element by path parity, which would split a small
+        # object's sink histogram across bins and can starve the h>10 seed
+        # rule. Collapse each cycle to its minimum bin so all basin pixels
+        # agree on ONE sink bin.
+        final = jnp.minimum(final, jnp.minimum(succ1[final], succ1[succ1[final]]))
         py = (final // W).astype(jnp.float32)
         px = (final % W).astype(jnp.float32)
 
@@ -160,48 +220,137 @@ def follow_flows(
     return jnp.stack([py.reshape(H, W), px.reshape(H, W)])
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_labels", "min_size", "seed_threshold")
-)
+def _shift2(arr: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    H, W = arr.shape
+    p = jnp.pad(arr, 1, constant_values=fill)
+    return p[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+
+
+_BIG_I32 = jnp.int32(2**30)
+
+
+@functools.partial(jax.jit, static_argnames=("max_labels",))
 def masks_from_sinks(
     final_pos: jnp.ndarray,
     fg: jnp.ndarray,
     max_labels: int = 256,
-    min_size: int = 15,
-    seed_threshold: float = 2.0,
 ) -> jnp.ndarray:
-    """Cluster converged pixel positions into labeled masks."""
+    """Cluster converged pixel positions into labeled masks.
+
+    Faithful to the published Cellpose ``get_masks`` clustering (Stringer
+    et al. 2021; behavior the reference consumes via ``model.eval``,
+    ``/root/reference/src/aliby/segment/dispatch.py:172-248``):
+
+    1. histogram the rounded converged positions onto the pixel grid;
+    2. seeds = local maxima of the histogram under a 5x5 maximum filter
+       with count > 10;
+    3. grow every seed for 5 rounds of 8-connected dilation restricted to
+       bins with count > 2 — conflicts (a bin reachable from two seeds)
+       resolve to the seed with the SMALLER count, ties to the smaller bin
+       index, matching the upstream write-order rule;
+    4. every foreground pixel takes the grown region its sink bin falls
+       in; masks covering > 40% of the image are dropped.
+
+    TPU formulation: the per-seed Python expansion becomes 5 rounds of
+    frozen-read neighborhood min-propagation of a lexicographic
+    (count, bin-index) key over the count>2 corridor — no sorts, no
+    gathers, no CC sweep (gated against the NumPy oracle by
+    ``tests/test_dynamics_parity.py``). Min-size removal and hole filling
+    live in :func:`masks_from_flows` (upstream applies them after flow QC).
+    """
     H, W = fg.shape
+    HW = H * W
     sy = jnp.clip(jnp.round(final_pos[0]).astype(jnp.int32), 0, H - 1)
     sx = jnp.clip(jnp.round(final_pos[1]).astype(jnp.int32), 0, W - 1)
-    sink = sy * W + sx
-    hist = jnp.zeros(H * W, jnp.float32).at[
-        jnp.where(fg.reshape(-1), sink.reshape(-1), 0)
-    ].add(jnp.where(fg.reshape(-1), 1.0, 0.0)).reshape(H, W)
-    # Seeds: dense sink bins, dilated to merge near-coincident basins.
-    seed = hist > seed_threshold
-    from aliby_tpu.ops.imageops import binary_dilation
+    sink = (sy * W + sx).reshape(-1)
+    fgf = fg.reshape(-1)
+    hist = (
+        jnp.zeros(HW, jnp.int32)
+        .at[jnp.where(fgf, sink, 0)]
+        .add(jnp.where(fgf, 1, 0))
+        .reshape(H, W)
+    )
+    # 5x5 separable maximum filter: radius-2 = two cascaded radius-1 passes
+    # per axis (out-of-grid bins hold count 0)
+    hmax = hist
+    for _ in range(2):
+        hmax = jnp.maximum(
+            hmax, jnp.maximum(_shift2(hmax, 1, 0, 0), _shift2(hmax, -1, 0, 0))
+        )
+    for _ in range(2):
+        hmax = jnp.maximum(
+            hmax, jnp.maximum(_shift2(hmax, 0, 1, 0), _shift2(hmax, 0, -1, 0))
+        )
+    seeds = (hist >= hmax) & (hist > 10)
 
-    seed = binary_dilation(seed, 2, connectivity=2)
-    # Hybrid CC: gather-free local sweep for the (typical, small) seed
-    # blobs + 3 hook+jump rounds so large sink clusters (no-second-channel
-    # flows spread 20+ px) still label exactly. ~half the pure hook+jump
-    # cost per batch.
-    cc = connected_components_hybrid(seed, connectivity=2)
-    basin = cc.reshape(-1)[jnp.clip(sink.reshape(-1), 0, H * W - 1)]
-    raw = jnp.where(fg.reshape(-1), basin, 0)  # component ids in [0, HW]
-    # Small-object removal on the UNBOUNDED component ids (one HW-binned
-    # scatter), then ONE sort-free dense relabel — the former
-    # relabel->filter->relabel chain paid two 64k unique-sorts (~78 ms each
-    # per 8-FOV batch); same ascending-original final labels.
-    areas = jnp.zeros(H * W + 1, jnp.float32).at[raw].add(1.0)
-    keep_px = (areas[raw] >= min_size) & (raw > 0)
+    idx2d = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W + (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    corridor = hist > 2
+    key_h = jnp.where(seeds, hist, _BIG_I32)
+    key_i = jnp.where(seeds, idx2d, _BIG_I32)
+    for _ in range(5):
+        nh, ni = key_h, key_i
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                sh = _shift2(key_h, dy, dx, _BIG_I32)
+                si = _shift2(key_i, dy, dx, _BIG_I32)
+                better = (sh < nh) | ((sh == nh) & (si < ni))
+                nh = jnp.where(better, sh, nh)
+                ni = jnp.where(better, si, ni)
+        key_h = jnp.where(corridor, nh, _BIG_I32)
+        key_i = jnp.where(corridor, ni, _BIG_I32)
+
+    owner = jnp.where(key_i < _BIG_I32, key_i + 1, 0).reshape(-1)  # [0, HW]
+    raw = jnp.where(fgf, owner[sink], 0)
+    areas = jnp.zeros(HW + 1, jnp.float32).at[raw].add(1.0)
+    keep_px = (areas[raw] <= 0.4 * HW) & (raw > 0)
     labels = jnp.where(keep_px, raw, 0).reshape(H, W)
     return relabel_dense(labels, H * W + 1, max_labels)
 
 
+@jax.jit
+def fill_label_holes(labels: jnp.ndarray) -> jnp.ndarray:
+    """Fill enclosed background holes per mask (cellpose
+    ``fill_holes_and_remove_small_masks`` hole semantics): a 4-connected
+    background component that does not touch the image border and is
+    adjacent to exactly one label is assigned that label. (Nested-mask
+    pockets adjacent to two labels stay background, which matches upstream
+    for non-nested masks — the overwhelmingly common case.)"""
+    H, W = labels.shape
+    bg = labels == 0
+    comp = connected_components_hybrid(bg, connectivity=1)  # ids in [0, HW]
+    cf = comp.reshape(-1)
+    n_bins = H * W + 1
+    lab_min = jnp.full(n_bins, _BIG_I32)
+    lab_max = jnp.zeros(n_bins, jnp.int32)
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        nb = _shift2(labels, dy, dx, 0).reshape(-1)
+        sel = bg.reshape(-1) & (nb > 0)
+        tgt = jnp.where(sel, cf, 0)
+        lab_min = lab_min.at[tgt].min(jnp.where(sel, nb, _BIG_I32))
+        lab_max = lab_max.at[tgt].max(jnp.where(sel, nb, 0))
+    border = jnp.zeros_like(labels, bool)
+    border = border.at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    touches = jnp.zeros(n_bins, jnp.int32).at[
+        jnp.where(bg.reshape(-1), cf, 0)
+    ].max((bg & border).reshape(-1).astype(jnp.int32))
+    fillable = (
+        (lab_min == lab_max) & (lab_min > 0) & (lab_min < _BIG_I32) & (touches == 0)
+    )
+    fill_val = jnp.where(fillable, jnp.where(lab_min < _BIG_I32, lab_min, 0), 0)
+    return jnp.where(bg & (fill_val[cf].reshape(H, W) > 0),
+                     fill_val[cf].reshape(H, W), labels)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_iter", "max_labels", "min_size")
+    jax.jit,
+    static_argnames=(
+        "n_iter", "max_labels", "min_size", "flow_threshold", "fill_holes",
+    ),
 )
 def masks_from_flows(
     flows: jnp.ndarray,
@@ -210,8 +359,42 @@ def masks_from_flows(
     n_iter: int = 2,
     max_labels: int = 256,
     min_size: int = 15,
+    flow_threshold: float | None = None,
+    fill_holes: bool = True,
 ) -> jnp.ndarray:
-    """(2,H,W) flows + (H,W) cell logit -> (H,W) int32 label masks."""
+    """(2,H,W) flows + (H,W) cell logit -> (H,W) int32 label masks.
+
+    Stage order mirrors cellpose ``compute_masks``: follow flows ->
+    histogram clustering (+megamask removal) -> optional flow-error QC
+    (masks whose recomputed flows disagree with the predicted flows by
+    mean squared error > ``flow_threshold`` are dropped) -> hole filling +
+    min-size removal. Gated against the independent NumPy oracle
+    (``tests/oracle_dynamics.py``) by ``tests/test_dynamics_parity.py``.
+    """
     fg = cellprob > cellprob_threshold
     final = follow_flows(flows, fg, n_iter=n_iter)
-    return masks_from_sinks(final, fg, max_labels=max_labels, min_size=min_size)
+    labels = masks_from_sinks(final, fg, max_labels=max_labels)
+    l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
+    if flow_threshold is not None:
+        mask_flows = masks_to_flows(labels)
+        err_px = ((mask_flows - flows) ** 2).sum(axis=0)
+        lab_px = jnp.where(labels > 0, labels, 0).reshape(-1)
+        sums = jnp.zeros(max_labels + 1, jnp.float32).at[
+            jnp.clip(lab_px, 0, max_labels)
+        ].add(jnp.where(lab_px > 0, err_px.reshape(-1), 0.0))
+        cnts = jnp.zeros(max_labels + 1, jnp.float32).at[
+            jnp.clip(lab_px, 0, max_labels)
+        ].add((lab_px > 0).astype(jnp.float32))
+        err = sums[1:] / jnp.maximum(cnts[1:], 1.0)
+        bad = err > flow_threshold
+        labels = jnp.where(bad[l_idx] & (labels > 0), 0, labels)
+    # min-size on UNFILLED areas (upstream checks npix before filling),
+    # then hole filling of the survivors
+    areas = jnp.zeros(max_labels + 1, jnp.float32).at[
+        jnp.where(labels > 0, labels, 0).reshape(-1)
+    ].add((labels > 0).reshape(-1).astype(jnp.float32))
+    small = areas[1:] < min_size
+    labels = jnp.where(small[l_idx] & (labels > 0), 0, labels)
+    if fill_holes:
+        labels = fill_label_holes(labels)
+    return relabel_dense(labels, max_labels + 1, max_labels)

@@ -142,7 +142,14 @@ class CellposeTPU:
         flow_iters: int | None = None,
         max_labels: int = 256,
         min_size: int = 15,
+        flow_threshold: float | None = None,
+        fill_holes: bool = True,
     ):
+        # flow_threshold mirrors cellpose's QC (reference model.eval default
+        # 0.4); the engine default stays None until the bundled weights are
+        # retrained against the median-center flow convention — QC compares
+        # predicted vs recomputed flows and old-convention weights would
+        # have every genuine mask dropped.
         model_kwargs = dict(model_kwargs or {})
         arch = model_kwargs.pop("arch", None)
         is_torch_ckpt = pretrained_path is not None and (
@@ -187,10 +194,14 @@ class CellposeTPU:
         self.flow_iters = flow_iters
         self.max_labels = max_labels
         self.min_size = min_size
+        self.flow_threshold = flow_threshold
+        self.fill_holes = fill_holes
 
         model = self.model
         cpt = float(cellprob_threshold)
         fi, ml, ms = int(flow_iters), int(max_labels), int(min_size)
+        ft = None if flow_threshold is None else float(flow_threshold)
+        fh = bool(fill_holes)
 
         @jax.jit
         def _segment_all(params, images):
@@ -220,6 +231,8 @@ class CellposeTPU:
                     n_iter=fi,
                     max_labels=ml,
                     min_size=ms,
+                    flow_threshold=ft,
+                    fill_holes=fh,
                 )
 
             return jax.vmap(one)(pred)
@@ -248,6 +261,8 @@ def _make_cellpose_segmenter(
         flow_iters=kwargs.get("flow_iters"),  # None -> per-checkpoint auto
         max_labels=kwargs.get("max_labels", 256),
         min_size=kwargs.get("min_size", 15),
+        flow_threshold=kwargs.get("flow_threshold"),
+        fill_holes=kwargs.get("fill_holes", True),
     )
 
     def _channel(pixels, channel):

@@ -123,6 +123,56 @@ def render_cells(
     return cells, nuclei, labels
 
 
+def render_dense_cells(
+    size: int,
+    n_cells: int,
+    rng: np.random.Generator,
+    rmin: float = 3.0,
+    rmax: float = 12.0,
+) -> np.ndarray:
+    """Densely packed touching ellipses -> (size, size) int32 label map.
+
+    Unlike :func:`render_cells` this allows objects to touch (centers may be
+    as close as the sum of minor radii x ~0.9), producing the dense-field
+    regime the flow-dynamics parity gate exercises (touching boundaries are
+    exactly where basin assignment is decided). Later objects claim only
+    unlabeled pixels, so earlier objects keep their full extent.
+    """
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    labels = np.zeros((size, size), np.int32)
+    centers: list[tuple[float, float, float]] = []
+    placed = 0
+    attempts = 0
+    while placed < n_cells and attempts < n_cells * 60:
+        attempts += 1
+        a = float(rng.uniform(rmin, rmax))
+        b = float(rng.uniform(rmin, min(rmax, a)))
+        m = a + 2
+        if size - m <= m:
+            continue
+        cy, cx = rng.uniform(m, size - m, 2)
+        if centers:
+            cs = np.array([(y, x) for y, x, _ in centers])
+            rs = np.array([r for _, _, r in centers])
+            d = np.hypot(cs[:, 0] - cy, cs[:, 1] - cx)
+            # touching allowed; heavy overlap (deeper than ~55% of the
+            # smaller radius) rejected so every object keeps a core
+            if np.any(d < 0.55 * (rs + b)):
+                continue
+        theta = rng.uniform(0, np.pi)
+        ct, st = np.cos(theta), np.sin(theta)
+        u = (xx - cx) * ct + (yy - cy) * st
+        v = -(xx - cx) * st + (yy - cy) * ct
+        inside = (u / a) ** 2 + (v / b) ** 2 <= 1.0
+        fresh = inside & (labels == 0)
+        if fresh.sum() < 9:
+            continue
+        placed += 1
+        labels[fresh] = placed
+        centers.append((cy, cx, b))
+    return labels
+
+
 def render_budding_movie(
     size: int,
     T: int,

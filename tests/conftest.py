@@ -24,6 +24,14 @@ import jax  # noqa: E402
 # not win. The config update does.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the scatter-heavy kernels (EDT, flows,
+# segment sums) take minutes to compile on the CPU backend; cache across
+# test sessions so only the first run pays.
+_cache_dir = Path.home() / ".cache" / "aliby_tpu" / "jax_cache"
+_cache_dir.mkdir(parents=True, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import pytest  # noqa: E402
 
 

@@ -208,15 +208,28 @@ def o_sizeshape(mask: np.ndarray) -> dict:
         "AreaShape_Perimeter": perim,
         "AreaShape_Solidity": area / convex_area,
     }
+    # CellProfiler's exact 2-D advanced grid: Spatial/Central over i<=2,
+    # j<=3; Normalized over (0..3)^2; Hu 0..6; inertia tensor + eigenvalues
+    # (binary Zernike lives in the separate "zernike" feature upstream).
     for i in range(4):
         for j in range(4):
-            out[f"AreaShape_SpatialMoment_{i}_{j}"] = m[(i, j)]
-            out[f"AreaShape_CentralMoment_{i}_{j}"] = mu[(i, j)]
+            if i <= 2:
+                out[f"AreaShape_SpatialMoment_{i}_{j}"] = m[(i, j)]
+                out[f"AreaShape_CentralMoment_{i}_{j}"] = mu[(i, j)]
             out[f"AreaShape_NormalizedMoment_{i}_{j}"] = eta[(i, j)]
     for idx, h in enumerate(hu):
         out[f"AreaShape_HuMoment_{idx}"] = h
-    for (zn, zm), v in o_zernike(mask).items():
-        out[f"AreaShape_Zernike_{zn}_{zm}"] = v
+    t00 = mu[(2, 0)] / area
+    t01 = -mu[(1, 1)] / area
+    t11 = mu[(0, 2)] / area
+    out["AreaShape_InertiaTensor_0_0"] = t00
+    out["AreaShape_InertiaTensor_0_1"] = t01
+    out["AreaShape_InertiaTensor_1_0"] = t01
+    out["AreaShape_InertiaTensor_1_1"] = t11
+    half_tr = (t00 + t11) / 2.0
+    disc = math.sqrt(max(((t00 - t11) / 2.0) ** 2 + t01**2, 0.0))
+    out["AreaShape_InertiaTensorEigenvalues_0"] = half_tr + disc
+    out["AreaShape_InertiaTensorEigenvalues_1"] = half_tr - disc
     return out
 
 
@@ -248,8 +261,10 @@ def o_intensity(mask: np.ndarray, img: np.ndarray, edge_measurements=True) -> di
         "Intensity_MassDisplacement": math.hypot(wcy - cy, wcx - cx),
         "Location_CenterMassIntensity_X": wcx,
         "Location_CenterMassIntensity_Y": wcy,
+        "Location_CenterMassIntensity_Z": 0.0,
         "Location_MaxIntensity_X": float(xs[k]),
         "Location_MaxIntensity_Y": float(ys[k]),
+        "Location_MaxIntensity_Z": 0.0,
     }
     if edge_measurements:
         # CellProfiler/centrosome outline convention: 4-connected erosion
