@@ -306,7 +306,25 @@ def run_pipeline_return_state(
             }
             import time as _time
 
-            for tp in range(pipeline.get("ntps", 1)):
+            ntps = pipeline.get("ntps", 1)
+            use_movie = (
+                ntps > 1
+                and pipeline.get("movie", True)
+                and compiled.movie_capable()
+            )
+            if use_movie:
+                # whole-movie batching (SURVEY §5.7): chunked T-batched
+                # fused dispatches + scan-over-T tracking
+                t0 = _time.perf_counter()
+                compiled.run_movie(
+                    range(ntps), tiler, state, pipeline, steps_dir,
+                    monitor=monitor,
+                )
+                state["timer"].add(
+                    "compiled_movie", _time.perf_counter() - t0
+                )
+                return state
+            for tp in range(ntps):
                 t0 = _time.perf_counter()
                 compiled.run_tp(tp, tiler, state, pipeline, steps_dir)
                 state["timer"].add("compiled_step", _time.perf_counter() - t0)

@@ -466,68 +466,119 @@ def rwc(labels, im1, im2, max_labels, thr_frac: float = 0.15) -> dict:
     return {"rwc": _nanpad(rwc1, present), "rwc_2": _nanpad(rwc2, present)}
 
 
-@functools.partial(jax.jit, static_argnames=("max_labels", "n_bins"))
-def costes(labels, im1, im2, max_labels, n_bins: int = 32) -> dict:
-    """Costes colocalization with automated per-label thresholds.
+@functools.partial(jax.jit, static_argnames=("max_labels", "scale_max"))
+def costes(labels, im1, im2, max_labels, scale_max: int = 255) -> dict:
+    """Costes colocalization, CellProfiler ``linear_costes`` semantics.
 
-    The Costes threshold is the largest fraction t whose sub-threshold
-    pixels (im1 < t*max1 AND im2 < t*max2) correlate non-positively.
-    Instead of bisecting with a full-image pass per step, sufficient
-    statistics (n, s1, s2, s11, s22, s12) are scatter-added ONCE into a
-    per-label (n_bins x n_bins) joint intensity histogram; 2-D cumulative
-    sums then give the sub-threshold correlation for EVERY candidate
-    threshold simultaneously, and the answer is an argmax over the grid
-    (threshold resolution 1/n_bins of the per-label max).
+    Published algorithm (Costes 2004 / CellProfiler MeasureColocalization):
+    1. orthogonal (Deming) regression of im2 on im1 over the object's
+       pixels with (im1>0)|(im2>0), sample statistics with ddof=1:
+       a = (vy - vx + sqrt((vy-vx)^2 + 4*cov^2)) / (2*cov), b = my - a*mx;
+    2. candidate thresholds T1(k) = k*max(im1)/scale_max descending from
+       k=scale_max-1, T2(k) = a*T1(k)+b; stop at the first k where the
+       Pearson correlation of pixels BELOW either threshold
+       (im1 < T1 or im2 < T2) is <= 0;
+    3. coefficients C_i = sum of channel i over pixels above BOTH
+       thresholds / sum over pixels above its own threshold.
+
+    TPU formulation: the descending scan is evaluated for EVERY k at once
+    from a joint histogram binned exactly on the candidate grids (im1 on
+    the T1 grid; im2 on the T2 grid via (im2-b)/(a*i_step)) — every
+    comparison the scan makes is representable exactly, so the emulation
+    matches the per-pixel oracle up to float rounding at bin edges. Stop-k
+    = max k with non-positive correlation (the first hit of a descending
+    scan). Gated against ``tests/oracle_features.o_costes``.
     """
     im1 = im1.astype(jnp.float32)
     im2 = im2.astype(jnp.float32)
     cnt = counts(labels, max_labels)
     present = cnt > 0
     fg = labels > 0
-    m1max = jnp.nan_to_num(seg_max(jnp.where(fg, im1, -jnp.inf), labels, max_labels))
-    m2max = jnp.nan_to_num(seg_max(jnp.where(fg, im2, -jnp.inf), labels, max_labels))
     l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
-    B = n_bins
-    q1 = jnp.clip(
-        (im1 / jnp.maximum(m1max[l_idx], 1e-12) * B).astype(jnp.int32), 0, B - 1
+    # Deming regression over (im1>0)|(im2>0) pixels, ddof=1
+    nz = fg & ((im1 > 0) | (im2 > 0))
+    reg_stats = seg_sum_cols(
+        jnp.where(
+            nz[..., None],
+            jnp.stack(
+                [jnp.ones_like(im1), im1, im2, im1 * im1, im2 * im2, im1 * im2],
+                axis=-1,
+            ),
+            0.0,
+        ).reshape(-1, 6),
+        jnp.where(nz, labels, 0),
+        max_labels,
     )
-    q2 = jnp.clip(
-        (im2 / jnp.maximum(m2max[l_idx], 1e-12) * B).astype(jnp.int32), 0, B - 1
+    n_r, s1_r, s2_r, s11_r, s22_r, s12_r = (reg_stats[:, i] for i in range(6))
+    nm1 = jnp.maximum(n_r - 1.0, 1.0)
+    mx = s1_r / jnp.maximum(n_r, 1.0)
+    my = s2_r / jnp.maximum(n_r, 1.0)
+    vx = jnp.maximum((s11_r - n_r * mx * mx) / nm1, 0.0)
+    vy = jnp.maximum((s22_r - n_r * my * my) / nm1, 0.0)
+    cov = (s12_r - n_r * mx * my) / nm1
+    safe_cov = jnp.where(jnp.abs(cov) > 1e-20, cov, 1.0)
+    a = ((vy - vx) + jnp.sqrt((vy - vx) ** 2 + 4.0 * cov**2)) / (2.0 * safe_cov)
+    b = my - a * mx
+    reg_ok = (n_r >= 2) & (jnp.abs(cov) > 1e-20) & (a > 0)
+    # exact-grid joint histogram
+    m1max = jnp.nan_to_num(
+        seg_max(jnp.where(fg, im1, -jnp.inf), labels, max_labels)
     )
-    flat_bin = (jnp.where(fg, labels, 0) * B * B + q1 * B + q2).reshape(-1)
-    stats = jnp.stack(
-        [jnp.ones_like(im1), im1, im2, im1 * im1, im2 * im2, im1 * im2], axis=-1
-    ).reshape(-1, 6)
-    stats = jnp.where(fg.reshape(-1)[:, None], stats, 0.0)
-    hist = jnp.zeros(((max_labels + 1) * B * B, 6), jnp.float32)
-    hist = hist.at[flat_bin].add(stats).reshape(max_labels + 1, B, B, 6)[1:]
-    # rectangle sums below each (k, k) threshold pair via 2-D cumsum
-    cum = jnp.cumsum(jnp.cumsum(hist, axis=1), axis=2)  # (L, B, B, 6)
-    diag = jnp.diagonal(cum, axis1=1, axis2=2)  # (L, 6, B)
-    n = diag[:, 0]
-    s1 = diag[:, 1]
-    s2 = diag[:, 2]
-    s11 = diag[:, 3]
-    s22 = diag[:, 4]
-    s12 = diag[:, 5]
-    safe_n = jnp.maximum(n, 1.0)
-    cov = s12 / safe_n - (s1 / safe_n) * (s2 / safe_n)
-    v1 = jnp.maximum(s11 / safe_n - (s1 / safe_n) ** 2, 0.0)
-    v2 = jnp.maximum(s22 / safe_n - (s2 / safe_n) ** 2, 0.0)
-    denom = jnp.sqrt(v1 * v2)
-    corr = (cov / jnp.maximum(denom, 1e-12)) * (denom > 1e-12)
-    corr = jnp.where(n > 2, corr, -1.0)  # (L, B) per candidate threshold k
-    # largest k whose sub-threshold correlation is <= 0
+    i_step = jnp.maximum(m1max, 1e-20) / scale_max
+    B = scale_max + 2
+    bin1 = jnp.clip(
+        jnp.floor(im1 / i_step[l_idx]).astype(jnp.int32), 0, B - 1
+    )
+    safe_a = jnp.where(reg_ok, a, 1.0)
+    bin2 = jnp.clip(
+        jnp.floor(
+            (im2 - b[l_idx]) / (safe_a[l_idx] * i_step[l_idx])
+        ).astype(jnp.int32),
+        0,
+        B - 1,
+    )
+    flat_bin = (jnp.where(fg, labels, 0) * B * B + bin1 * B + bin2).reshape(-1)
+    # six stats sequentially (keeps the (L, B, B) transient to one stat)
+    above = []  # per-stat (L, K) suffix-diagonal: sums over bin1>=k & bin2>=k
+    for stat in (
+        jnp.ones_like(im1), im1, im2, im1 * im1, im2 * im2, im1 * im2
+    ):
+        h = jnp.zeros((max_labels + 1) * B * B, jnp.float32).at[flat_bin].add(
+            jnp.where(fg, stat, 0.0).reshape(-1)
+        ).reshape(max_labels + 1, B, B)[1:]
+        sfx = jnp.cumsum(jnp.cumsum(h[:, ::-1, ::-1], axis=1), axis=2)[
+            :, ::-1, ::-1
+        ]
+        above.append(jnp.diagonal(sfx, axis1=1, axis2=2))  # (L, B)
+    tot = [s[:, 0:1] for s in above]  # suffix at (0,0) = all label pixels
+    n_b = tot[0] - above[0]
+    s1_b = tot[1] - above[1]
+    s2_b = tot[2] - above[2]
+    s11_b = tot[3] - above[3]
+    s22_b = tot[4] - above[4]
+    s12_b = tot[5] - above[5]
+    safe_n = jnp.maximum(n_b, 1.0)
+    cov_b = s12_b / safe_n - (s1_b / safe_n) * (s2_b / safe_n)
+    v1_b = jnp.maximum(s11_b / safe_n - (s1_b / safe_n) ** 2, 0.0)
+    v2_b = jnp.maximum(s22_b / safe_n - (s2_b / safe_n) ** 2, 0.0)
+    denom = jnp.sqrt(v1_b * v2_b)
+    corr = cov_b / jnp.maximum(denom, 1e-20)
+    ok = (n_b >= 2) & (v1_b > 0) & (v2_b > 0) & (corr <= 0.0)
     ks = jax.lax.broadcasted_iota(jnp.int32, corr.shape, 1)
-    best_k = jnp.max(jnp.where(corr <= 0.0, ks, -1), axis=1)
-    tfrac = (best_k + 1).astype(jnp.float32) / B
-    t1_px = (m1max * tfrac)[jnp.clip(labels - 1, 0, max_labels - 1)]
-    t2_px = (m2max * tfrac)[jnp.clip(labels - 1, 0, max_labels - 1)]
-    sum1 = seg_sum(jnp.where(fg, im1, 0), labels, max_labels)
-    sum2 = seg_sum(jnp.where(fg, im2, 0), labels, max_labels)
-    c1 = seg_sum(jnp.where(fg & (im1 > t1_px), im1, 0), labels, max_labels) / jnp.maximum(sum1, 1e-12)
-    c2 = seg_sum(jnp.where(fg & (im2 > t2_px), im2, 0), labels, max_labels) / jnp.maximum(sum2, 1e-12)
-    return {"costes": _nanpad(c1, present), "costes_2": _nanpad(c2, present)}
+    # scan tests k = scale_max-1 .. 1; first (largest) non-positive k wins
+    ok = ok & (ks >= 1) & (ks <= scale_max - 1)
+    k_star = jnp.maximum(jnp.max(jnp.where(ok, ks, 0), axis=1), 1)
+    t1 = k_star.astype(jnp.float32) * i_step
+    t2 = a * t1 + b
+    t1_px = t1[l_idx]
+    t2_px = t2[l_idx]
+    both = fg & (im1 > t1_px) & (im2 > t2_px)
+    den1 = seg_sum(jnp.where(fg & (im1 > t1_px), im1, 0), labels, max_labels)
+    den2 = seg_sum(jnp.where(fg & (im2 > t2_px), im2, 0), labels, max_labels)
+    c1 = seg_sum(jnp.where(both, im1, 0), labels, max_labels) / jnp.maximum(den1, 1e-20)
+    c2 = seg_sum(jnp.where(both, im2, 0), labels, max_labels) / jnp.maximum(den2, 1e-20)
+    good = present & reg_ok & (den1 > 0) & (den2 > 0)
+    return {"costes": _nanpad(c1, good), "costes_2": _nanpad(c2, good)}
 
 
 CORRELATION_FEATURES = {

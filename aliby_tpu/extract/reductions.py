@@ -349,3 +349,130 @@ def distance_to_boundary(labels: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray
     dist0 = fg.astype(jnp.float32)
     _, dist = jax.lax.fori_loop(0, max_iter, body, (alive0, dist0))
     return dist
+
+
+@functools.partial(jax.jit, static_argnames=("max_labels", "bc_iters", "top_k"))
+def minimum_enclosing_circle(
+    labels: jnp.ndarray, max_labels: int, bc_iters: int = 96, top_k: int = 12
+):
+    """Per-label minimum enclosing circle (cy, cx, r) of pixel centers.
+
+    The disk centrosome's zernike machinery builds per object
+    (``minimum_enclosing_circle`` feeding ``construct_zernike_polynomials``
+    — the convention behind CellProfiler AreaShape_Zernike and the
+    intensity-distribution zernikes). TPU formulation:
+
+    1. candidate set = per-(label, row) x-extent endpoints (hull vertices
+       are extreme in x per row, so the MEC's determining points are all
+       here) — two scatters into (L, H) bins, then pure batched tensor ops;
+    2. Badoiu-Clarkson iterations (c += (farthest - c)/(k+1)) home in on
+       the center with O(r/k) error, no sorts or gathers;
+    3. two exact refinement rounds: take the ``top_k`` farthest endpoints,
+       enumerate all pair/triple circumcircles, keep the smallest that
+       encloses the top_k set;
+    4. final radius = exact max distance from the chosen center over ALL
+       endpoints, so the returned circle always encloses the object.
+
+    Absent labels return garbage rows — mask with ``counts() > 0``.
+    """
+    H, W = labels.shape
+    L = max_labels
+    flat_l = jnp.clip(labels, 0, L).reshape(-1)
+    fgf = (labels > 0).reshape(-1)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).reshape(-1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+    bins = jnp.where(fgf, flat_l * H + yy, 0)
+    NB = (L + 1) * H
+    xmin = jnp.full(NB, jnp.inf).at[bins].min(jnp.where(fgf, xx, jnp.inf))
+    xmax = jnp.full(NB, -jnp.inf).at[bins].max(jnp.where(fgf, xx, -jnp.inf))
+    xmin = xmin.reshape(L + 1, H)[1:]
+    xmax = xmax.reshape(L + 1, H)[1:]
+    rows = jnp.broadcast_to(
+        jnp.arange(H, dtype=jnp.float32)[None, :], (L, H)
+    )
+    valid_row = jnp.isfinite(xmin)
+    px = jnp.concatenate([xmin, xmax], axis=1)  # (L, 2H)
+    py = jnp.concatenate([rows, rows], axis=1)
+    vm = jnp.concatenate([valid_row, valid_row], axis=1)
+    px = jnp.where(vm, px, 0.0)
+    py = jnp.where(vm, py, 0.0)
+    nv = jnp.maximum(vm.sum(axis=1), 1)
+
+    cy = (py * vm).sum(axis=1) / nv
+    cx = (px * vm).sum(axis=1) / nv
+
+    def masked_d2(cy, cx):
+        return jnp.where(vm, (py - cy[:, None]) ** 2 + (px - cx[:, None]) ** 2, -jnp.inf)
+
+    def bc_step(k, c):
+        cy, cx = c
+        d2 = masked_d2(cy, cx)
+        far = jnp.argmax(d2, axis=1)
+        fy = jnp.take_along_axis(py, far[:, None], 1)[:, 0]
+        fx = jnp.take_along_axis(px, far[:, None], 1)[:, 0]
+        step = 1.0 / (k.astype(jnp.float32) + 2.0)
+        return (cy + (fy - cy) * step, cx + (fx - cx) * step)
+
+    cy, cx = jax.lax.fori_loop(0, bc_iters, bc_step, (cy, cx))
+
+    # static pair/triple index lists over the top_k candidate points
+    import itertools
+
+    pair_idx = jnp.asarray(
+        list(itertools.combinations(range(top_k), 2)), jnp.int32
+    )
+    tri_idx = jnp.asarray(
+        list(itertools.combinations(range(top_k), 3)), jnp.int32
+    )
+
+    for _ in range(2):
+        d2 = masked_d2(cy, cx)
+        topv, topi = jax.lax.top_k(d2, top_k)  # (L, K)
+        ty = jnp.take_along_axis(py, topi, 1)
+        tx = jnp.take_along_axis(px, topi, 1)
+        tval = topv > -jnp.inf
+        # pair circles: center = midpoint, r2 = quarter of the pair d2
+        ay, ax_ = ty[:, pair_idx[:, 0]], tx[:, pair_idx[:, 0]]
+        by, bx_ = ty[:, pair_idx[:, 1]], tx[:, pair_idx[:, 1]]
+        pcy = (ay + by) / 2.0
+        pcx = (ax_ + bx_) / 2.0
+        pr2 = ((ay - by) ** 2 + (ax_ - bx_) ** 2) / 4.0
+        pok = tval[:, pair_idx[:, 0]] & tval[:, pair_idx[:, 1]]
+        # triple circumcircles
+        t0y, t0x = ty[:, tri_idx[:, 0]], tx[:, tri_idx[:, 0]]
+        t1y, t1x = ty[:, tri_idx[:, 1]], tx[:, tri_idx[:, 1]]
+        t2y, t2x = ty[:, tri_idx[:, 2]], tx[:, tri_idx[:, 2]]
+        d = 2.0 * (t0x * (t1y - t2y) + t1x * (t2y - t0y) + t2x * (t0y - t1y))
+        s0 = t0x**2 + t0y**2
+        s1 = t1x**2 + t1y**2
+        s2 = t2x**2 + t2y**2
+        safe_d = jnp.where(jnp.abs(d) > 1e-9, d, 1.0)
+        ucx = (s0 * (t1y - t2y) + s1 * (t2y - t0y) + s2 * (t0y - t1y)) / safe_d
+        ucy = (s0 * (t2x - t1x) + s1 * (t0x - t2x) + s2 * (t1x - t0x)) / safe_d
+        tr2 = (t0y - ucy) ** 2 + (t0x - ucx) ** 2
+        tok = (
+            (jnp.abs(d) > 1e-9)
+            & tval[:, tri_idx[:, 0]]
+            & tval[:, tri_idx[:, 1]]
+            & tval[:, tri_idx[:, 2]]
+        )
+        ccy = jnp.concatenate([pcy, ucy], axis=1)  # (L, C)
+        ccx = jnp.concatenate([pcx, ucx], axis=1)
+        cr2 = jnp.concatenate([pr2, tr2], axis=1)
+        cok = jnp.concatenate([pok, tok], axis=1)
+        # validity: encloses the top_k set (within fp tolerance)
+        dd = (ty[:, None, :] - ccy[:, :, None]) ** 2 + (
+            tx[:, None, :] - ccx[:, :, None]
+        ) ** 2  # (L, C, K)
+        dd = jnp.where(tval[:, None, :], dd, -jnp.inf)
+        encl = dd.max(axis=2) <= cr2 * (1.0 + 1e-6) + 1e-6
+        score = jnp.where(cok & encl, cr2, jnp.inf)
+        best = jnp.argmin(score, axis=1)
+        bcy = jnp.take_along_axis(ccy, best[:, None], 1)[:, 0]
+        bcx = jnp.take_along_axis(ccx, best[:, None], 1)[:, 0]
+        has = jnp.isfinite(jnp.take_along_axis(score, best[:, None], 1)[:, 0])
+        cy = jnp.where(has, bcy, cy)
+        cx = jnp.where(has, bcx, cx)
+
+    r = jnp.sqrt(jnp.maximum(masked_d2(cy, cx).max(axis=1), 0.0))
+    return cy, cx, r

@@ -41,7 +41,7 @@ from aliby_tpu.extract.reductions import (
 # Haralick texture
 # ---------------------------------------------------------------------------
 
-_NG = 32  # internal gray levels (CP names carry the 256-level scale suffix)
+_NG = 256  # gray levels — matches the _256 scale suffix in the CP names
 _ANGLE_OFFSETS = ((0, 1), (1, 1), (1, 0), (1, -1))  # 00, 01, 02, 03
 _HARALICK_NAMES = (
     "AngularSecondMoment",
@@ -250,7 +250,9 @@ def _zernike_pairs(max_n: int = 9):
 
 
 def _zernike_core(labels, weight, max_labels):
-    """|A_nm| of ``weight`` over each object's unit disk.
+    """|A_nm| of ``weight`` over each object's minimum-enclosing-circle
+    unit disk (the centrosome/CellProfiler zernike convention: the disk is
+    the object's minimum enclosing circle, not a centroid-centered one).
 
     All 30 (n, m) pairs' real+imaginary integrands are stacked into one
     (HW, 60) column block and accumulated by a SINGLE multi-column
@@ -258,17 +260,19 @@ def _zernike_core(labels, weight, max_labels):
     scatter unit — ~340 ms/8 FOVs; one wide scatter rides contiguous
     lanes). Radial powers rho^p are shared across pairs.
     """
+    from aliby_tpu.extract.reductions import minimum_enclosing_circle
+
     st = LabelStats(labels, max_labels)
     present = st.present
     l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
-    dy = st.yy - st.cy[l_idx]
-    dx = st.xx - st.cx[l_idx]
+    mcy, mcx, mr = minimum_enclosing_circle(labels, max_labels)
+    dy = st.yy - mcy[l_idx]
+    dx = st.xx - mcx[l_idx]
     r = jnp.sqrt(dy**2 + dx**2)
-    rmax = seg_max(jnp.where(labels > 0, r, -jnp.inf), labels, max_labels)
-    rmax = jnp.maximum(jnp.nan_to_num(rmax, neginf=0.0), 1.0)
+    rmax = jnp.maximum(jnp.where(jnp.isfinite(mr), mr, 1.0), 1.0)
     rho = r / rmax[l_idx]
     theta = jnp.arctan2(dy, dx)
-    inside = (labels > 0) & (rho <= 1.0)
+    inside = (labels > 0) & (rho <= 1.0 + 1e-6)
     w = jnp.where(inside, weight, 0.0)
     pairs = _zernike_pairs()
     max_n = max(n for n, _ in pairs)
@@ -332,17 +336,40 @@ def radial_distribution(
     n_bins: int = 4,
     n_wedges: int = 8,
 ) -> dict:
+    """FracAtD / MeanFrac / RadialCV with CellProfiler's EDT-normalized
+    binning (MeasureObjectIntensityDistribution): the object center is the
+    most-interior pixel (argmax of the per-object EDT, first in raster
+    order on ties), and each pixel's normalized distance is
+    ``d_center / (d_center + d_edge + 0.001)`` — 0 at the center, ->1 at
+    the boundary regardless of shape. Wedges for RadialCV are the 8
+    angular sectors about that same center."""
     img = img.astype(jnp.float32)
     st = LabelStats(labels, max_labels)
     present = st.present
     l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
-    dy = st.yy - st.cy[l_idx]
-    dx = st.xx - st.cx[l_idx]
+    from aliby_tpu.ops.edt import edt_to_other_label
+
+    H, W = labels.shape
+    d_edge = jnp.where(labels > 0, edt_to_other_label(labels), 0.0)
+    # center = argmax of d_edge per label, ties -> first raster position
+    flat_l = jnp.clip(labels, 0, max_labels).reshape(-1)
+    fgf = (labels > 0).reshape(-1)
+    de_f = d_edge.reshape(-1)
+    best = jnp.full(max_labels + 1, -jnp.inf).at[
+        jnp.where(fgf, flat_l, 0)
+    ].max(jnp.where(fgf, de_f, -jnp.inf))
+    at_best = fgf & (de_f == best[flat_l])
+    pos = jnp.arange(H * W, dtype=jnp.int32)
+    first = jnp.full(max_labels + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
+        jnp.where(at_best, flat_l, 0)
+    ].min(jnp.where(at_best, pos, jnp.iinfo(jnp.int32).max))[1:]
+    ccy = jnp.floor(first.astype(jnp.float32) / W)
+    ccx = first.astype(jnp.float32) - ccy * W
+    dy = st.yy - ccy[l_idx]
+    dx = st.xx - ccx[l_idx]
     r = jnp.sqrt(dy**2 + dx**2)
-    rmax = seg_max(jnp.where(labels > 0, r, -jnp.inf), labels, max_labels)
-    rmax = jnp.maximum(jnp.nan_to_num(rmax, neginf=0.0), 1e-6)
-    frac = jnp.clip(r / rmax[l_idx], 0.0, 1.0 - 1e-6)
-    ring = (frac * n_bins).astype(jnp.int32)  # 0..n_bins-1
+    nd = r / (r + d_edge + 0.001)
+    ring = jnp.clip((nd * n_bins).astype(jnp.int32), 0, n_bins - 1)
     theta = jnp.arctan2(dy, dx)  # -pi..pi
     wedge = jnp.clip(
         ((theta + jnp.pi) / (2 * jnp.pi) * n_wedges).astype(jnp.int32), 0, n_wedges - 1

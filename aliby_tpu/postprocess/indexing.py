@@ -104,12 +104,23 @@ def validate_lineage(
 
     ``lineage`` is (M, 2, k) of (mother_index, bud_index) rows; returns
     (valid_lineage_rows, mask_of_index_rows_involved).
+
+    Reference rule (``agora/utils/indexing.py:16-21``): a bud should not
+    have two mothers — later assignments of an already-assigned bud are
+    discarded (first mother wins) before presence filtering.
     """
     lineage = np.asarray(lineage)
     index = np.atleast_2d(np.asarray(index))
+    seen: set = set()
+    first_mother = np.ones(len(lineage), dtype=bool)
+    for i, row in enumerate(lineage):
+        key = tuple(np.asarray(row[1]).ravel())
+        if key in seen:
+            first_mother[i] = False
+        seen.add(key)
     mothers_ok = index_isin(lineage[:, 0], index)
     buds_ok = index_isin(lineage[:, 1], index)
-    valid = mothers_ok & buds_ok
+    valid = mothers_ok & buds_ok & first_mother
     kept = lineage[valid]
     involved = index_isin(
         index, kept.reshape(-1, kept.shape[-1]) if len(kept) else kept

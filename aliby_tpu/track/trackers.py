@@ -115,3 +115,59 @@ def stitch_sequence(masks_t: jnp.ndarray, max_labels: int = 256, iou_threshold: 
     init = (first, first.max())
     (_, _), rest = jax.lax.scan(step, init, masks_t[1:])
     return jnp.concatenate([first[None], rest], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_labels",))
+def stitch_movie(
+    masks_tf: jnp.ndarray,
+    init_labels: jnp.ndarray,
+    init_max: jnp.ndarray,
+    has_init: jnp.ndarray,
+    max_labels: int = 256,
+    iou_threshold: float = 0.25,
+):
+    """Whole-movie tracking for a tile GRID: scan over T, vmap over F.
+
+    ``masks_tf``: (T, F, Y, X) per-frame label maps.
+    ``init_labels``/``init_max``: (F, Y, X) / (F,) carried tracker state
+    from a previous chunk; ``has_init`` (bool scalar) selects between
+    continuing from that state and the first-frame rule (objects keep
+    their sequential ids as globals — ``stitch_rois`` semantics).
+
+    Returns (globals_tf, max_t): (T, F, Y, X) global label maps and the
+    (T, F) running max-label after each frame — exactly the per-tp
+    ``{"labels", "max_label"}`` states the per-tp path produces, computed
+    in ONE dispatch per chunk instead of one per timepoint.
+    """
+
+    def per_tile(tiles_t, init_lab, init_m):
+        first = tiles_t[0].astype(jnp.int32)
+        first_as_init = jnp.where(has_init, init_lab, first)
+        max_as_init = jnp.where(has_init, init_m, 0)
+
+        def step(carry, cur):
+            prev_global, max_label = carry
+            cur_global, new_max = stitch_pair(
+                prev_global, cur, max_label, max_labels=max_labels,
+                iou_threshold=iou_threshold,
+            )
+            return (cur_global, new_max), (cur_global, new_max)
+
+        # with carried state the FIRST frame also stitches; without it the
+        # first frame keeps its own ids (max = its own max)
+        g0, m0 = jax.lax.cond(
+            has_init,
+            lambda: step((first_as_init, max_as_init), first)[0],
+            lambda: (first, first.max()),
+        )
+        (_, _), (rest_g, rest_m) = jax.lax.scan(
+            step, (g0, m0), tiles_t[1:].astype(jnp.int32)
+        )
+        globals_t = jnp.concatenate([g0[None], rest_g], axis=0)
+        max_t = jnp.concatenate([m0[None], rest_m], axis=0)
+        return globals_t, max_t
+
+    globals_ft, max_ft = jax.vmap(per_tile, in_axes=(1, 0, 0))(
+        masks_tf, init_labels.astype(jnp.int32), init_max.astype(jnp.int32)
+    )
+    return jnp.swapaxes(globals_ft, 0, 1), jnp.swapaxes(max_ft, 0, 1)

@@ -52,12 +52,24 @@ def main() -> None:
         "  180 support slabs (exact for cell-scale objects).",
         "- Feret: calipers over 360 directions (error O(1/K^2)).",
         "- Orientation: regionprops convention, degrees.",
-        "- Zernike/RadialDistribution: centroid + circumscribed-radius disk",
-        "  (upstream bins by EDT-normalized distance; values differ by",
-        "  convention, numerics validated against the oracle).",
-        "- Texture: GLCM quantized per object to 32 levels, 4 angles,",
-        "  scale 3 (CP names keep the `_256` suffix).",
-        "- Costes: threshold from a 32-bin joint histogram (vs bisection).",
+        "- Zernike (binary + intensity-weighted): the upstream centrosome",
+        "  disk — each object's exact MINIMUM ENCLOSING CIRCLE (oracle:",
+        "  exhaustive circumcircle enumeration; production: Badoiu-Clarkson",
+        "  + exact refinement, enclosure guaranteed); magnitudes carry the",
+        "  (n+1)/(pi r^2) disk-measure normalization, RadialZernike weights",
+        "  normalized by per-object total intensity.",
+        "- RadialDistribution: CellProfiler's EDT-normalized binning —",
+        "  center = most-interior pixel (EDT argmax, raster-first ties),",
+        "  normalized distance = d_center/(d_center + d_edge + .001);",
+        "  RadialCV over 8 angular wedge intensity sums about that center.",
+        "- Texture: GLCM per object at 256 gray levels (per-object min-max,",
+        "  floor-quantized), 4 angles, scale 3 — the `_256` suffix is now",
+        "  the actual level count.",
+        "- Costes: CellProfiler linear_costes — Deming regression (ddof=1)",
+        "  over (im1>0)|(im2>0) pixels, descending 255-step threshold scan",
+        "  stopping at the first non-positive below-threshold correlation,",
+        "  evaluated exactly on the candidate grid (oracle: literal",
+        "  per-pixel scan, `o_costes`).",
         "",
         "## Measured errors (worst first)",
         "",

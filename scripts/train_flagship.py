@@ -95,7 +95,10 @@ def heldout_iou(weights_path, n_plain: int = 6, n_budding: int = 6) -> dict:
     from aliby_tpu.models.segment import CellposeTPU
     from aliby_tpu.test_data import render_budding_movie, render_cells
 
-    eng = CellposeTPU(pretrained_path=weights_path)
+    # Gate under the TARGET configuration: flow-error QC on (reference
+    # model.eval default 0.4). Old-convention weights score ~0 here because
+    # QC recomputes flows with the median-center convention.
+    eng = CellposeTPU(pretrained_path=weights_path, flow_threshold=0.4)
     rng = np.random.default_rng(987654)  # FIXED seed: same held-out set always
 
     def mean_iou(img2, gt):

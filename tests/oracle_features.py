@@ -329,6 +329,56 @@ def o_rwc(mask, im1, im2, thr_frac=0.15) -> dict:
     }
 
 
+def o_costes(mask, im1, im2, scale_max=255) -> dict:
+    """CellProfiler linear_costes, literal per-pixel implementation:
+    Deming regression (ddof=1) over (im1>0)|(im2>0) pixels, descending
+    threshold scan T1 = k*max(im1)/scale_max (k = scale_max-1..1) stopping
+    at the first k whose below-either-threshold pixels correlate
+    non-positively, coefficients over above-both pixels normalized by
+    above-own-threshold sums."""
+    m = mask.astype(bool)
+    a1 = im1[m].astype(np.float64)
+    a2 = im2[m].astype(np.float64)
+    nz = (a1 > 0) | (a2 > 0)
+    x, y = a1[nz], a2[nz]
+    nan = {"costes": float("nan"), "costes_2": float("nan")}
+    if len(x) < 2:
+        return nan
+    vx = float(np.var(x, ddof=1))
+    vy = float(np.var(y, ddof=1))
+    cov = float(((x - x.mean()) * (y - y.mean())).sum() / (len(x) - 1))
+    if abs(cov) <= 1e-20:
+        return nan
+    a = ((vy - vx) + math.sqrt((vy - vx) ** 2 + 4 * cov**2)) / (2 * cov)
+    if a <= 0:
+        return nan
+    b = float(y.mean()) - a * float(x.mean())
+    i_step = max(float(a1.max()), 1e-20) / scale_max
+    k_star = 1
+    for k in range(scale_max - 1, 0, -1):
+        t1 = k * i_step
+        t2 = a * t1 + b
+        reg = (a1 < t1) | (a2 < t2)
+        if reg.sum() >= 2:
+            xr, yr = a1[reg], a2[reg]
+            if xr.var() > 0 and yr.var() > 0:
+                c = float(np.corrcoef(xr, yr)[0, 1])
+                if c <= 0:
+                    k_star = k
+                    break
+    t1 = k_star * i_step
+    t2 = a * t1 + b
+    both = (a1 > t1) & (a2 > t2)
+    den1 = a1[a1 > t1].sum()
+    den2 = a2[a2 > t2].sum()
+    if den1 <= 0 or den2 <= 0:
+        return nan
+    return {
+        "costes": float(a1[both].sum() / den1),
+        "costes_2": float(a2[both].sum() / den2),
+    }
+
+
 # ---------------------------------------------------------------------------
 # zernike / radial distribution (convention-matched numerics)
 # ---------------------------------------------------------------------------
@@ -338,18 +388,66 @@ def _zernike_pairs(max_n=9):
     return [(n, m) for n in range(max_n + 1) for m in range(n % 2, n + 1, 2)]
 
 
-def o_zernike(mask: np.ndarray, weight: np.ndarray | None = None) -> dict:
-    """|A_nm| over the object's (centroid, rmax) unit disk.  # convention"""
+def o_minimum_enclosing_circle(mask: np.ndarray):
+    """Exact minimum enclosing circle of the object's pixel centers.
+
+    Centrosome convention (``minimum_enclosing_circle`` feeding the zernike
+    construction). Candidate points are the per-row x-extent endpoints
+    (hull vertices are row-extreme); exhaustive pair+triple circumcircle
+    enumeration with full-set enclosure check — exact, test-only speed.
+    """
     m = mask.astype(bool)
     ys, xs = np.nonzero(m)
-    cy, cx = ys.mean(), xs.mean()
+    pts = []
+    for y in np.unique(ys):
+        row = xs[ys == y]
+        pts.append((float(y), float(row.min())))
+        pts.append((float(y), float(row.max())))
+    P = np.unique(np.array(pts, np.float64), axis=0)
+    n = len(P)
+    if n == 1:
+        return P[0, 0], P[0, 1], 0.0
+    cands = []  # (cy, cx, r2)
+    for i in range(n):
+        for j in range(i + 1, n):
+            c = (P[i] + P[j]) / 2.0
+            cands.append((c[0], c[1], ((P[i] - P[j]) ** 2).sum() / 4.0))
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                (ay, ax), (by, bx), (cy_, cx_) = P[i], P[j], P[k]
+                d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+                if abs(d) < 1e-9:
+                    continue
+                s0, s1, s2 = ax**2 + ay**2, bx**2 + by**2, cx_**2 + cy_**2
+                ux = (s0 * (by - cy_) + s1 * (cy_ - ay) + s2 * (ay - by)) / d
+                uy = (s0 * (cx_ - bx) + s1 * (ax - cx_) + s2 * (bx - ax)) / d
+                cands.append((uy, ux, (ay - uy) ** 2 + (ax - ux) ** 2))
+    best = None
+    for cy2, cx2, r2 in cands:
+        d2 = ((P[:, 0] - cy2) ** 2 + (P[:, 1] - cx2) ** 2).max()
+        if d2 <= r2 * (1 + 1e-9) + 1e-9:
+            if best is None or r2 < best[2]:
+                best = (cy2, cx2, r2)
+    cy2, cx2, r2 = best
+    # exact enclosing radius from the chosen center
+    r = math.sqrt(((P[:, 0] - cy2) ** 2 + (P[:, 1] - cx2) ** 2).max())
+    return cy2, cx2, r
+
+
+def o_zernike(mask: np.ndarray, weight: np.ndarray | None = None) -> dict:
+    """|A_nm| over the object's minimum-enclosing-circle unit disk (the
+    centrosome/CellProfiler zernike convention)."""
+    m = mask.astype(bool)
+    ys, xs = np.nonzero(m)
+    cy, cx, rmec = o_minimum_enclosing_circle(m)
     dy, dx = ys - cy, xs - cx
     r = np.hypot(dy, dx)
-    rmax = max(r.max(), 1.0)
+    rmax = max(rmec, 1.0)
     rho = r / rmax
     theta = np.arctan2(dy, dx)
     w = np.ones_like(rho) if weight is None else weight[m].astype(np.float64)
-    inside = rho <= 1.0
+    inside = rho <= 1.0 + 1e-6
     out = {}
     for n, mm in _zernike_pairs():
         R = np.zeros_like(rho)
@@ -367,17 +465,20 @@ def o_zernike(mask: np.ndarray, weight: np.ndarray | None = None) -> dict:
 
 
 def o_radial_distribution(mask, img, n_bins=4, n_wedges=8) -> dict:
-    """FracAtD / MeanFrac / RadialCV over centroid-relative rings.
-    # convention (upstream bins by EDT-normalized distance)"""
+    """FracAtD / MeanFrac / RadialCV with CellProfiler's EDT-normalized
+    binning: center = most-interior pixel (EDT argmax, first in raster
+    order), normalized distance = d_center / (d_center + d_edge + .001)."""
     m = mask.astype(bool)
     ys, xs = np.nonzero(m)
     v = img[m].astype(np.float64)
-    cy, cx = ys.mean(), xs.mean()
-    dy, dx = ys - cy, xs - cx
+    d_edge_full = ndimage.distance_transform_edt(m)
+    d_edge = d_edge_full[m]
+    k = int(np.argmax(d_edge_full.ravel()))  # raster-first argmax
+    cy, cx = k // m.shape[1], k % m.shape[1]
+    dy, dx = ys - float(cy), xs - float(cx)
     r = np.hypot(dy, dx)
-    rmax = max(r.max(), 1e-6)
-    frac = np.clip(r / rmax, 0.0, 1.0 - 1e-6)
-    ring = (frac * n_bins).astype(int)
+    nd = r / (r + d_edge + 0.001)
+    ring = np.clip((nd * n_bins).astype(int), 0, n_bins - 1)
     theta = np.arctan2(dy, dx)
     wedge = np.clip(((theta + np.pi) / (2 * np.pi) * n_wedges).astype(int),
                     0, n_wedges - 1)
@@ -459,7 +560,7 @@ def _plog(x):
     return np.where(x > 1e-12, np.log(np.maximum(x, 1e-12)), 0.0)
 
 
-def o_texture(mask, img, scale=3, ng=32) -> dict:
+def o_texture(mask, img, scale=3, ng=256) -> dict:
     """13 Haralick features x 4 angles from the standard GLCM definitions."""
     m = mask.astype(bool)
     v = img.astype(np.float64)

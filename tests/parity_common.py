@@ -81,6 +81,7 @@ def compute_pairs(fields=None) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         ours_all.update({k: np.asarray(v) for k, v in F.pearson(jl, ji, ji2, L).items()})
         ours_all.update({k: np.asarray(v) for k, v in F.manders_fold(jl, ji, ji2, L).items()})
         ours_all.update({k: np.asarray(v) for k, v in F.rwc(jl, ji, ji2, L).items()})
+        ours_all.update({k: np.asarray(v) for k, v in F.costes(jl, ji, ji2, L).items()})
         ours_all.update({k: np.asarray(v) for k, v in T.texture(jl, ji, L).items()})
         ours_all.update({k: np.asarray(v) for k, v in T.granularity(jl, ji, L).items()})
         zk = T.zernike(jl, L)
@@ -99,6 +100,7 @@ def compute_pairs(fields=None) -> dict[str, tuple[np.ndarray, np.ndarray]]:
             oracle_all.update(O.o_pearson(mask, img, img2))
             oracle_all.update(O.o_manders_fold(mask, img, img2))
             oracle_all.update(O.o_rwc(mask, img, img2))
+            oracle_all.update(O.o_costes(mask, img, img2))
             oracle_all.update(O.o_texture(mask, img))
             oracle_all.update(O.o_granularity(mask, img))
             for (n, m), v in O.o_zernike(mask).items():

@@ -165,11 +165,26 @@ def test_manders_and_rwc_ranges(labeled):
     img2 = img[::-1, ::-1].copy()
     m = features.manders_fold(labels, img, img2, 8)
     r = features.rwc(labels, img, img2, 8)
-    c = features.costes(labels, img, img2, 8)
-    for d in (m, r, c):
+    for d in (m, r):
         for v in d.values():
             vals = np.asarray(v)[:2]
             assert np.all((vals >= -1e-6) & (vals <= 1.0 + 1e-6))
+    # costes (linear_costes semantics) needs a positive Deming slope;
+    # anticorrelated channels are NaN by convention (oracle agrees), so
+    # range-check it on a correlated pair instead
+    rng = np.random.default_rng(0)
+    img3 = (0.7 * img + rng.normal(0, 2, img.shape)).astype(np.float32)
+    c = features.costes(labels, img, img3, 8)
+    for v in c.values():
+        vals = np.asarray(v)[:2]
+        assert np.all((vals >= -1e-6) & (vals <= 1.0 + 1e-6))
+    # arbitrary (reversed) channel pairs may land anywhere incl. NaN when
+    # the Deming slope is non-positive — just require in-range-or-NaN
+    c_anti = features.costes(labels, img, img2, 8)
+    for v in c_anti.values():
+        vals = np.asarray(v)[:2]
+        ok = np.isnan(vals) | ((vals >= -1e-6) & (vals <= 1.0 + 1e-6))
+        assert ok.all()
 
 
 def test_background_metrics(labeled):

@@ -74,7 +74,7 @@ def test_coverage(parity):
     for family in (
         "AreaShape", "Intensity", "Location", "Texture", "Granularity",
         "Zernike", "RadialZernike", "RadialDistribution", "pearson",
-        "manders_fold", "rwc", "slope",
+        "manders_fold", "rwc", "slope", "costes",
     ):
         assert family in prefixes, f"family {family} missing from parity set"
     assert len(pairs) > 200
@@ -95,9 +95,8 @@ def test_every_feature_within_tolerance(parity):
 
 
 def test_costes_threshold_sane():
-    """Costes uses a 32-bin grid threshold (documented approximation):
-    sanity-gate its outputs against direct recomputation at the same
-    threshold resolution rather than a bisection oracle."""
+    """Range sanity on the linear_costes emulation (the numerical gate vs
+    the per-pixel oracle lives in the ledger via ``o_costes``)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -209,10 +209,15 @@ def test_example01_column_inventory(tmp_path, data_dir):
     from pathlib import Path
 
     entry, position = _cellpainting_position()
+    # the EXACT reference example-01 configuration
+    # (examples/01_cell_painting_tiff.py:65-71): nuclei=DNA(0),
+    # cell=AGP(3), extract ALL 5 channels, intensity+sizeshape,
+    # edge_measurements off, coloc over all 10 channel pairs.
     base = build_pipeline_steps(
         channels_to_segment={"nuclei": 0, "cell": 3},
-        channels_to_extract=[0, 1, 3],
+        channels_to_extract=[0, 1, 2, 3, 4],
         features_to_extract=("intensity", "sizeshape"),
+        cp_measure_feature_kwargs={"intensity": {"edge_measurements": False}},
         segmenter_extra_kwargs={"kind": "threshold", "threshold_scale": 0.6},
     )
     pipeline = _stamp(base, entry, position)
@@ -234,4 +239,8 @@ def test_example01_column_inventory(tmp_path, data_dir):
         f"{len(extra)} extra {extra[:5]} "
         "(regenerate tests/golden/example01_columns.txt if intentional)"
     )
+    # the reference's published anchor: ~26 rows x 632 columns — the
+    # column COUNT must now match exactly (4 metadata + 6x78 sizeshape +
+    # 5x16 intensity + 10x8 coloc)
+    assert len(got) == 632, f"expected 632 columns, got {len(got)}"
     assert profiles.num_rows > 10
