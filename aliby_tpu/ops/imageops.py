@@ -117,15 +117,24 @@ def binary_closing(mask: jnp.ndarray, size: int = 2) -> jnp.ndarray:
 
 @jax.jit
 def clear_border(labels: jnp.ndarray) -> jnp.ndarray:
-    """Zero out any label touching the image border (skimage semantics)."""
+    """Zero out any label touching the image border (skimage semantics).
+
+    Label ids may be raw connected-component ids (min-pixel-index + 1,
+    up to H*W) — the presence table is sized accordingly; a fixed 4096-bin
+    table used to alias every id above it onto one bin, so a single
+    border-touching component wiped ALL large-id labels (caught by
+    tests/test_trap_hardening.py on fields with edge-straddling traps).
+    """
     border = jnp.zeros_like(labels, dtype=bool)
     border = border.at[0, :].set(True).at[-1, :].set(True)
     border = border.at[:, 0].set(True).at[:, -1].set(True)
     border_labels = jnp.where(border, labels, 0)
-    max_l = 4096
-    touched = jnp.zeros(max_l, bool).at[jnp.clip(border_labels.reshape(-1), 0, max_l - 1)].set(True)
+    n_bins = labels.size + 1
+    touched = jnp.zeros(n_bins, bool).at[
+        jnp.clip(border_labels.reshape(-1), 0, n_bins - 1)
+    ].set(True)
     touched = touched.at[0].set(False)
-    return jnp.where(touched[jnp.clip(labels, 0, max_l - 1)], 0, labels)
+    return jnp.where(touched[jnp.clip(labels, 0, n_bins - 1)], 0, labels)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "bins"))

@@ -124,7 +124,10 @@ def segment_traps(
         template = _mean_template(image, centres, tile_size // 2)
         return identify_trap_locations(image, template, tile_size)
 
-    traps = run(downscale)
+    try:
+        traps = run(downscale)
+    except RuntimeError:
+        traps = np.zeros((0, 2))
     if len(traps) < min_traps and downscale != 1.0:
         try:
             retry = run(1.0)
@@ -132,4 +135,6 @@ def segment_traps(
                 traps = retry
         except RuntimeError:
             pass
+    if len(traps) == 0:
+        raise RuntimeError("no traps found")  # tiler falls back to monotile
     return traps
