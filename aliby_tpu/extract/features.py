@@ -148,8 +148,32 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
     dist = jnp.where(labels > 0, edt_to_other_label(labels), 0.0)
     max_radius = seg_max(dist, labels, max_labels)
     mean_radius = seg_sum(dist, labels, max_labels) / st.safe_area
-    sv, starts, cnt = sorted_by_label(dist, labels, max_labels)
-    median_radius = quantile_from_sorted(sv, starts, cnt, 0.5)
+    # MedianRadius: EDT values are sqrt(integer), so the exact np.quantile
+    # (linear interpolation between the two middle order statistics) comes
+    # from a per-label histogram over d^2 — no 64k lexsort. d is bounded by
+    # half the min image dimension, which bounds the bin count statically.
+    H_img, W_img = labels.shape
+    n_bins = (min(H_img, W_img) // 2 + 2) ** 2
+    d2i = jnp.clip(
+        jnp.round(dist * dist).astype(jnp.int32), 0, n_bins - 1
+    )
+    lbl_f = jnp.clip(labels, 0, max_labels).reshape(-1)
+    hist = jnp.zeros((max_labels + 1) * n_bins, jnp.float32).at[
+        jnp.where(labels.reshape(-1) > 0, lbl_f * n_bins + d2i.reshape(-1), 0)
+    ].add((labels.reshape(-1) > 0).astype(jnp.float32)).reshape(
+        max_labels + 1, n_bins
+    )[1:]
+    cum = jnp.cumsum(hist, axis=1)
+    n_px = cum[:, -1]
+    p = 0.5 * (n_px - 1.0)
+    k = jnp.floor(jnp.maximum(p, 0.0))
+    g = p - k
+    k1 = jnp.minimum(k + 1.0, jnp.maximum(n_px - 1.0, 0.0))
+    bin_k = jnp.argmax(cum >= (k[:, None] + 1.0), axis=1)
+    bin_k1 = jnp.argmax(cum >= (k1[:, None] + 1.0), axis=1)
+    median_radius = (1.0 - g) * jnp.sqrt(bin_k.astype(jnp.float32)) + (
+        g * jnp.sqrt(bin_k1.astype(jnp.float32))
+    )
     euler = _euler_number(labels, max_labels)
     form_factor = 4 * jnp.pi * area / jnp.maximum(perimeter**2, 1e-12)
     compactness = jnp.maximum(perimeter, 0.0) ** 2 / jnp.maximum(4 * jnp.pi * area, 1e-12)
@@ -537,20 +561,27 @@ def costes(labels, im1, im2, max_labels, scale_max: int = 255) -> dict:
         0,
         B - 1,
     )
-    flat_bin = (jnp.where(fg, labels, 0) * B * B + bin1 * B + bin2).reshape(-1)
-    # six stats sequentially (keeps the (L, B, B) transient to one stat)
-    above = []  # per-stat (L, K) suffix-diagonal: sums over bin1>=k & bin2>=k
-    for stat in (
-        jnp.ones_like(im1), im1, im2, im1 * im1, im2 * im2, im1 * im2
-    ):
-        h = jnp.zeros((max_labels + 1) * B * B, jnp.float32).at[flat_bin].add(
-            jnp.where(fg, stat, 0.0).reshape(-1)
-        ).reshape(max_labels + 1, B, B)[1:]
-        sfx = jnp.cumsum(jnp.cumsum(h[:, ::-1, ::-1], axis=1), axis=2)[
-            :, ::-1, ::-1
-        ]
-        above.append(jnp.diagonal(sfx, axis1=1, axis2=2))  # (L, B)
-    tot = [s[:, 0:1] for s in above]  # suffix at (0,0) = all label pixels
+    # The scan only ever tests the SQUARE rectangle {bin1 >= k AND
+    # bin2 >= k}, whose indicator is min(bin1, bin2) >= k — so the joint
+    # histogram collapses to a 1-D histogram over m = min(bin1, bin2):
+    # one (HW, 6) scatter + a suffix cumsum, instead of six (L, B, B)
+    # scatters + 2-D cumsums.
+    m_bin = jnp.minimum(bin1, bin2)
+    flat_bin = (jnp.where(fg, labels, 0) * B + m_bin).reshape(-1)
+    stats_cols = jnp.where(
+        fg.reshape(-1)[:, None],
+        jnp.stack(
+            [jnp.ones_like(im1), im1, im2, im1 * im1, im2 * im2, im1 * im2],
+            axis=-1,
+        ).reshape(-1, 6),
+        0.0,
+    )
+    h = jnp.zeros(((max_labels + 1) * B, 6), jnp.float32).at[flat_bin].add(
+        stats_cols
+    ).reshape(max_labels + 1, B, 6)[1:]
+    above6 = jnp.cumsum(h[:, ::-1, :], axis=1)[:, ::-1, :]  # (L, B, 6)
+    above = [above6[..., i] for i in range(6)]
+    tot = [s[:, 0:1] for s in above]  # suffix at 0 = all label pixels
     n_b = tot[0] - above[0]
     s1_b = tot[1] - above[1]
     s2_b = tot[2] - above[2]

@@ -120,9 +120,29 @@ def _haralick_from_glcm(P):
 
 @functools.partial(jax.jit, static_argnames=("max_labels", "scale"))
 def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int = 3) -> dict:
+    """13 Haralick features x 4 angles from per-object 256-level GLCMs.
+
+    SPARSE formulation: a dense symmetric (L, 256, 256) GLCM holds <= HW
+    nonzero cells, so every Haralick term is computed from per-PAIR
+    segmented sums instead of (L, G, G) elementwise passes:
+
+    - linear-in-P terms (contrast, IDM, sum/diff moments, E[ij]) are one
+      (HW, 7) multi-column scatter of f(q0, q1) per angle;
+    - marginal terms use the tiny (L, G) row-marginal histogram — the
+      symmetric GLCM has px == py, so mu_x == mu_y, hx == hy, and the
+      joint-entropy bounds separate exactly: hxy1 == hxy2 == 2*hx (no
+      (L, G, G) px*py outer product at all);
+    - the two genuinely nonlinear terms (ASM = sum P^2, entropy =
+      -sum P log P) come from ONE (L, G, G) count scatter + a per-pair
+      gather of the pair's own symmetric count:
+        sum_cells s^2 = sum_pairs 2*s[pair],
+        -sum_cells (s/T) log(s/T) = -(2/T) sum_pairs log(s[pair]/T);
+    - sum/diff entropies use small dense (L, 2G-1)/(L, G) histograms.
+    """
     img = img.astype(jnp.float32)
     present = counts(labels, max_labels) > 0
-    # per-object min-max quantization to _NG levels
+    G = _NG
+    # per-object min-max quantization to G levels
     fg = labels > 0
     vmin = seg_min(jnp.where(fg, img, jnp.inf), labels, max_labels)
     vmax = seg_max(jnp.where(fg, img, -jnp.inf), labels, max_labels)
@@ -131,10 +151,11 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
     span = jnp.maximum(vmax - vmin, 1e-12)
     l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
     q = jnp.clip(
-        ((img - vmin[l_idx]) / span[l_idx] * _NG).astype(jnp.int32), 0, _NG - 1
+        ((img - vmin[l_idx]) / span[l_idx] * G).astype(jnp.int32), 0, G - 1
     )
     H, W = labels.shape
     out = {}
+    i_lvl = jnp.arange(G, dtype=jnp.float32)
     for a_idx, (dy, dx) in enumerate(_ANGLE_OFFSETS):
         oy, ox = dy * scale, dx * scale
         ys = slice(max(0, -oy), H - max(0, oy))
@@ -143,23 +164,95 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
         xs2 = slice(max(0, ox), W - max(0, -ox))
         l0 = labels[ys, xs]
         l1 = labels[ys2, xs2]
-        valid = (l0 > 0) & (l0 == l1)
-        q0 = q[ys, xs]
-        q1 = q[ys2, xs2]
-        lbl = jnp.where(valid, l0, 0).reshape(-1)
-        flat = (
-            lbl * (_NG * _NG)
-            + q0.reshape(-1) * _NG
-            + q1.reshape(-1)
+        valid = ((l0 > 0) & (l0 == l1)).reshape(-1)
+        q0 = q[ys, xs].reshape(-1).astype(jnp.float32)
+        q1 = q[ys2, xs2].reshape(-1).astype(jnp.float32)
+        lbl = jnp.where(valid, l0.reshape(-1), 0)
+        vf = valid.astype(jnp.float32)
+        d = q0 - q1
+        k = q0 + q1
+        # one multi-column scatter: n, E-terms (un-normalized)
+        cols = jnp.stack(
+            [
+                vf,                       # pair count n
+                vf * d * d,               # contrast
+                vf / (1.0 + d * d),       # inverse difference moment
+                vf * k,                   # sum average
+                vf * k * k,               # sum variance (2nd moment)
+                vf * jnp.abs(d),          # diff average
+                vf * q0 * q1,             # correlation E[ij]
+            ],
+            axis=-1,
         )
-        glcm = jnp.zeros((max_labels + 1) * _NG * _NG, jnp.float32)
-        glcm = glcm.at[flat].add(valid.reshape(-1).astype(jnp.float32))
-        glcm = glcm.reshape(max_labels + 1, _NG, _NG)[1:]
-        glcm = glcm + jnp.swapaxes(glcm, 1, 2)  # symmetric
-        total = jnp.maximum(glcm.sum((1, 2), keepdims=True), 1e-12)
-        P = glcm / total
-        feats = _haralick_from_glcm(P)
-        has_pairs = glcm.sum((1, 2)) > 0
+        acc = jnp.zeros((max_labels + 1, 7), jnp.float32).at[lbl].add(cols)[1:]
+        n_pairs = acc[:, 0]
+        T = jnp.maximum(2.0 * n_pairs, 1e-12)
+        inv_n = 1.0 / jnp.maximum(n_pairs, 1e-12)
+        contrast = acc[:, 1] * inv_n
+        idm = acc[:, 2] * inv_n
+        sum_avg = acc[:, 3] * inv_n
+        sum_var = jnp.maximum(acc[:, 4] * inv_n - sum_avg**2, 0.0)
+        diff_avg = acc[:, 5] * inv_n
+        diff_var = jnp.maximum(contrast - diff_avg**2, 0.0)
+        e_ij = acc[:, 6] * inv_n
+        # marginals: symmetric GLCM -> px == py; both endpoints scatter
+        q0i = q0.astype(jnp.int32)
+        q1i = q1.astype(jnp.int32)
+        px = jnp.zeros((max_labels + 1) * G, jnp.float32)
+        px = px.at[lbl * G + q0i].add(vf).at[lbl * G + q1i].add(vf)
+        px = px.reshape(max_labels + 1, G)[1:] / T[:, None]
+        mu = (px * i_lvl).sum(1)
+        var = jnp.maximum((px * (i_lvl[None] - mu[:, None]) ** 2).sum(1), 0.0)
+        hx = -(px * _safe_log(px)).sum(1)
+        corr = ((e_ij - mu**2) / jnp.maximum(var, 1e-12)) * (var > 1e-6)
+        # sum/diff entropies from small dense histograms
+        ks = (q0i + q1i)
+        p_sum = jnp.zeros((max_labels + 1) * (2 * G - 1), jnp.float32).at[
+            lbl * (2 * G - 1) + ks
+        ].add(vf).reshape(max_labels + 1, 2 * G - 1)[1:] / jnp.maximum(
+            n_pairs, 1e-12
+        )[:, None]
+        sum_ent = -(p_sum * _safe_log(p_sum)).sum(1)
+        ds = jnp.abs(q0i - q1i)
+        p_diff = jnp.zeros((max_labels + 1) * G, jnp.float32).at[
+            lbl * G + ds
+        ].add(vf).reshape(max_labels + 1, G)[1:] / jnp.maximum(
+            n_pairs, 1e-12
+        )[:, None]
+        diff_ent = -(p_diff * _safe_log(p_diff)).sum(1)
+        # nonlinear-in-P terms via count scatter + per-pair gather
+        flat_sym0 = (lbl * G + q0i) * G + q1i
+        flat_sym1 = (lbl * G + q1i) * G + q0i
+        s_counts = jnp.zeros((max_labels + 1) * G * G, jnp.float32)
+        s_counts = s_counts.at[flat_sym0].add(vf).at[flat_sym1].add(vf)
+        s_pair = s_counts[flat_sym0]  # symmetric count of each pair's cell
+        T_px = T[jnp.clip(lbl - 1, 0, max_labels - 1)]
+        asm_cols = jnp.stack(
+            [
+                vf * 2.0 * s_pair,
+                vf * (-2.0) * _safe_log(s_pair / jnp.maximum(T_px, 1e-12)),
+            ],
+            axis=-1,
+        )
+        acc2 = jnp.zeros((max_labels + 1, 2), jnp.float32).at[lbl].add(asm_cols)[1:]
+        asm = acc2[:, 0] / jnp.maximum(T, 1e-12) ** 2
+        entropy = acc2[:, 1] / T
+        # separable joint-entropy bounds: hxy1 == hxy2 == hx + hy == 2*hx
+        denom = jnp.maximum(hx, 1e-12)
+        im1 = (entropy - 2.0 * hx) / denom
+        im2 = jnp.sqrt(
+            jnp.maximum(1.0 - jnp.exp(-2.0 * (2.0 * hx - entropy)), 0.0)
+        )
+        feats = dict(
+            zip(
+                _HARALICK_NAMES,
+                (
+                    asm, contrast, corr, var, idm, sum_avg, sum_var,
+                    sum_ent, entropy, diff_var, diff_ent, im1, im2,
+                ),
+            )
+        )
+        has_pairs = n_pairs > 0
         for name, v in feats.items():
             out[f"Texture_{name}_{scale}_{a_idx:02d}_256"] = jnp.where(
                 present & has_pairs, v, jnp.nan

@@ -37,6 +37,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
@@ -78,6 +79,92 @@ def _best_of(fn, reps=3):
         fn()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _bench_mesh_runner(build_workload, n_fovs, file=sys.stderr):
+    """End-to-end mesh-runner throughput on the SAME full-bank workload.
+
+    Writes the bench FOVs as an n_fovs-position TIFF plate, runs
+    ``run_positions_mesh`` (one dp-sharded fused dispatch per tp for ALL
+    positions) for ntps timepoints, and returns steady-state
+    position-timepoints/s (second run; the first pays tracing + IO cache).
+    """
+    import shutil
+    import tempfile
+
+    from aliby_tpu.engine.builders import DEFAULT_FEATURES
+    from aliby_tpu.parallel.pipeline_mesh import run_positions_mesh
+    from aliby_tpu.test_data import _write_tiff
+
+    root = Path(tempfile.mkdtemp(prefix="bench_plate_"))
+    fovs = build_workload(n_fovs, seed=11)
+    positions = []
+    for i, fov in enumerate(fovs):
+        well = f"A{i + 1:02d}"
+        for c in range(fov.shape[1]):
+            img = np.clip(fov[0, c, 0] * 12000.0, 0, 65535).astype(np.uint16)
+            _write_tiff(root / f"plate1__{well}__1__c{c}.tif", img)
+        positions.append({"key": f"{well}__1", "path": root})
+    regex = r".*__(A[0-9]{2})__([0-9])__c([0-9])\.tif"
+    full_mono = {
+        "None": {"None": ("sizeshape",)},
+        0: {"max": list(DEFAULT_FEATURES)},
+        3: {"max": list(DEFAULT_FEATURES)},
+    }
+    multi_tree = {
+        (0, 3): {"None": {"max": ["pearson", "costes", "manders_fold", "rwc"]}}
+    }
+    cpkw = {"intensity": {"edge_measurements": False}}
+    base = {
+        "steps": {
+            "tile": {"tile_size": None},
+            "segment_nuclei": {
+                "segmenter_kwargs": {"kind": "cellpose", "second_channel": 3},
+                "channel_to_segment": 0,
+            },
+            "segment_cell": {
+                "segmenter_kwargs": {"kind": "cellpose", "second_channel": 0},
+                "channel_to_segment": 3,
+            },
+            "extract_nuclei": {
+                "tree": full_mono, "kwargs": {"cp_measure_kwargs": cpkw},
+            },
+            "extractmulti_nuclei": {"tree": multi_tree, "kwargs": {}},
+            "extract_cell": {
+                "tree": full_mono, "kwargs": {"cp_measure_kwargs": cpkw},
+            },
+            "extractmulti_cell": {"tree": multi_tree, "kwargs": {}},
+        },
+        "passed_data": {
+            name: [("masks", f"segment_{obj}"), ("pixels", "tile")]
+            for obj in ("nuclei", "cell")
+            for name in (f"extract_{obj}", f"extractmulti_{obj}")
+        },
+        "passed_methods": {
+            "segment_nuclei": ("tile", "get_fczyx"),
+            "segment_cell": ("tile", "get_fczyx"),
+        },
+        "save": [],
+        "save_interval": 1,
+        "ntps": 1,
+        "compiled": True,
+    }
+    out1 = root / "out_warm"
+    t0 = time.perf_counter()
+    run_positions_mesh(
+        base, positions, out1, regex=regex, capture_order="WFC",
+        overwrite=True,
+    )
+    print(f"# mesh warmup: {time.perf_counter() - t0:.1f}s", file=file)
+    out2 = root / "out_meas"
+    t0 = time.perf_counter()
+    run_positions_mesh(
+        base, positions, out2, regex=regex, capture_order="WFC",
+        overwrite=True,
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return n_fovs / dt
 
 
 def main():
@@ -219,6 +306,23 @@ def main():
 
     fov_tp_per_s = results["full"]
     print(f"# light-tree (r1 anchor): {results['light']:.3f} fov/s", file=sys.stderr)
+
+    # ---- mesh-runner hardware number (VERDICT r2 item 5) -------------------
+    # The SAME full-bank workload through parallel/pipeline_mesh
+    # .run_positions_mesh with dp=<device count> on real hardware: 8
+    # synthetic positions as a TIFF plate, end-to-end (tiler IO + sharded
+    # fused dispatch + per-position bookkeeping + profiles).
+    try:
+        mesh_fovs = _bench_mesh_runner(build_workload, n_fovs, file=sys.stderr)
+        if mesh_fovs:
+            ratio = mesh_fovs / fov_tp_per_s
+            print(
+                f"# mesh runner (dp={len(devices)}): {mesh_fovs:.3f} fov/s "
+                f"end-to-end = {ratio * 100:.0f}% of the direct fused path",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"# mesh bench unavailable: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
