@@ -118,26 +118,57 @@ def _haralick_from_glcm(P):
     )
 
 
+def _run_lengths(sk, nbig):
+    """Per-element run length of a SORTED int32 key array (exact, int32):
+    run starts by neighbor-compare, start positions by running max, run ends
+    by reverse running min of the next start position."""
+    n = sk.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    rs = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    start = jax.lax.cummax(jnp.where(rs, iota, -1))
+    nxt = jnp.concatenate([jnp.where(rs, iota, nbig)[1:], jnp.full(1, n, jnp.int32)])
+    end = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
+    return end - start, rs
+
+
+def _seg_cumsum(vals, reset):
+    """Inclusive segmented cumsum of (N, C) float32 with per-element reset
+    flags: associative monoid (f, v) o (g, w) = (max(f, g), w + (1 - g) v).
+    Keeps partial sums bounded per segment (float32-safe boundary diffs)."""
+    f = reset.astype(vals.dtype)[:, None]
+    _, out = jax.lax.associative_scan(
+        lambda a, b: (jnp.maximum(a[0], b[0]), b[1] + (1.0 - b[0]) * a[1]),
+        (jnp.broadcast_to(f, vals.shape), vals),
+        axis=0,
+    )
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("max_labels", "scale"))
 def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int = 3) -> dict:
     """13 Haralick features x 4 angles from per-object 256-level GLCMs.
 
-    SPARSE formulation: a dense symmetric (L, 256, 256) GLCM holds <= HW
-    nonzero cells, so every Haralick term is computed from per-PAIR
-    segmented sums instead of (L, G, G) elementwise passes:
+    SORT-based sparse formulation. A dense symmetric (L, 256, 256) GLCM
+    holds <= HW nonzero cells, and on TPU random-access scatter updates run
+    ~100 M/s while sort runs ~500 M el/s and cumsum is bandwidth-free — so
+    every histogram-shaped term is computed by sorting compact integer keys
+    and run-length encoding instead of scattering:
 
-    - linear-in-P terms (contrast, IDM, sum/diff moments, E[ij]) are one
-      (HW, 7) multi-column scatter of f(q0, q1) per angle;
-    - marginal terms use the tiny (L, G) row-marginal histogram — the
-      symmetric GLCM has px == py, so mu_x == mu_y, hx == hy, and the
-      joint-entropy bounds separate exactly: hxy1 == hxy2 == 2*hx (no
-      (L, G, G) px*py outer product at all);
-    - the two genuinely nonlinear terms (ASM = sum P^2, entropy =
-      -sum P log P) come from ONE (L, G, G) count scatter + a per-pair
-      gather of the pair's own symmetric count:
-        sum_cells s^2 = sum_pairs 2*s[pair],
-        -sum_cells (s/T) log(s/T) = -(2/T) sum_pairs log(s[pair]/T);
-    - sum/diff entropies use small dense (L, 2G-1)/(L, G) histograms.
+    - linear-in-P terms (contrast, IDM, sum/diff moments, E[ij], marginal
+      mean/variance — all symmetric in (i, j)) are ONE (N, 9) multi-column
+      scatter into (angle, label) bins, N = all 4 angles' pair slots;
+    - ASM and entropy need each pair's own symmetric cell count s: sort
+      key = (angle, label, qmin, qmax); run length r gives s = r (off-diag,
+      two cells each of count r) or 2r (diagonal, one cell of count 2r);
+      then sum_cells s^2 = sum_el 2 s_el and
+      -sum_cells (s/T) log(s/T) = [-2 sum_el log s_el] / T + log T;
+    - the three marginal entropies (hx over endpoints — the symmetric GLCM
+      has px == py so hxy1 == hxy2 == 2*hx — sum entropy over q0+q1, diff
+      entropy over |q0-q1|) are one more sort of value-tagged keys:
+      -sum_v m log m = -sum_el log(run_len), normalized per projection.
+    Per-(angle,label) totals are boundary reads of segmented cumsums — the
+    (angle, label) group id is the key's high bits, so groups are
+    contiguous after the sort and no further scatter is needed.
     """
     img = img.astype(jnp.float32)
     present = counts(labels, max_labels) > 0
@@ -155,107 +186,147 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
     )
     H, W = labels.shape
     out = {}
-    i_lvl = jnp.arange(G, dtype=jnp.float32)
-    for a_idx, (dy, dx) in enumerate(_ANGLE_OFFSETS):
+    A = len(_ANGLE_OFFSETS)
+    L1 = max_labels + 1
+    # all 4 angles' pair slots, angle-tagged; invalid slots carry label 0 and
+    # land in each angle's label-0 bins, which every [:, 1:] slice drops.
+    lbls, q0s, q1s, vfs = [], [], [], []
+    n_pair_slots = []
+    for dy, dx in _ANGLE_OFFSETS:
         oy, ox = dy * scale, dx * scale
         ys = slice(max(0, -oy), H - max(0, oy))
         xs = slice(max(0, -ox), W - max(0, ox))
         ys2 = slice(max(0, oy), H - max(0, -oy))
         xs2 = slice(max(0, ox), W - max(0, -ox))
-        l0 = labels[ys, xs]
-        l1 = labels[ys2, xs2]
-        valid = ((l0 > 0) & (l0 == l1)).reshape(-1)
-        q0 = q[ys, xs].reshape(-1).astype(jnp.float32)
-        q1 = q[ys2, xs2].reshape(-1).astype(jnp.float32)
-        lbl = jnp.where(valid, l0.reshape(-1), 0)
-        vf = valid.astype(jnp.float32)
-        d = q0 - q1
-        k = q0 + q1
-        # one multi-column scatter: n, E-terms (un-normalized)
-        cols = jnp.stack(
-            [
-                vf,                       # pair count n
-                vf * d * d,               # contrast
-                vf / (1.0 + d * d),       # inverse difference moment
-                vf * k,                   # sum average
-                vf * k * k,               # sum variance (2nd moment)
-                vf * jnp.abs(d),          # diff average
-                vf * q0 * q1,             # correlation E[ij]
-            ],
-            axis=-1,
+        l0 = labels[ys, xs].reshape(-1)
+        l1 = labels[ys2, xs2].reshape(-1)
+        valid = (l0 > 0) & (l0 == l1)
+        lbls.append(jnp.where(valid, l0, 0))
+        q0s.append(q[ys, xs].reshape(-1))
+        q1s.append(q[ys2, xs2].reshape(-1))
+        vfs.append(valid.astype(jnp.float32))
+        n_pair_slots.append(l0.shape[0])
+    lbl = jnp.concatenate(lbls)
+    q0i = jnp.concatenate(q0s)
+    q1i = jnp.concatenate(q1s)
+    vf = jnp.concatenate(vfs)
+    ang = jnp.concatenate(
+        [jnp.full((n,), a, jnp.int32) for a, n in enumerate(n_pair_slots)]
+    )
+    N = lbl.shape[0]
+    q0 = q0i.astype(jnp.float32)
+    q1 = q1i.astype(jnp.float32)
+    d = q0 - q1
+    ksum = q0 + q1
+    LA = A * L1
+    al = ang * L1 + lbl  # (angle, label) flat group id
+
+    # ---- one multi-column scatter: every symmetric linear statistic ------
+    cols = jnp.stack(
+        [
+            vf,                   # pair count n
+            vf * d * d,           # contrast
+            vf / (1.0 + d * d),   # inverse difference moment
+            vf * ksum,            # sum average numerator
+            vf * ksum * ksum,     # sum 2nd moment
+            vf * jnp.abs(d),      # diff average numerator
+            vf * q0 * q1,         # correlation E[ij]
+            vf * (q0 * q0 + q1 * q1),  # endpoint 2nd moment (marginal var)
+        ],
+        axis=-1,
+    )
+    acc = jnp.zeros((LA, 8), jnp.float32).at[al].add(cols)
+    acc = acc.reshape(A, L1, 8)[:, 1:]  # (A, L, 8)
+    n_pairs = acc[..., 0]
+
+    # ---- joint sort: ASM + entropy from symmetric cell counts ------------
+    qmin = jnp.minimum(q0i, q1i)
+    qmax = jnp.maximum(q0i, q1i)
+    jkey = (al * G + qmin) * G + qmax
+    sjk = jnp.sort(jkey)
+    rlen, _ = _run_lengths(sjk, jnp.int32(N + G * G * LA))
+    gid_j = sjk // (G * G)
+    greset_j = jnp.concatenate([jnp.ones(1, bool), gid_j[1:] != gid_j[:-1]])
+    sqmin = (sjk // G) % G
+    sqmax = sjk % G
+    s_cell = jnp.where(sqmin == sqmax, 2 * rlen, rlen).astype(jnp.float32)
+    jvals = jnp.stack([2.0 * s_cell, -2.0 * jnp.log(s_cell)], axis=-1)
+    jcs = _seg_cumsum(jvals, greset_j)
+    # group boundary reads: starts of every (angle, label) group
+    jstarts = jnp.searchsorted(
+        sjk, jnp.arange(LA + 1, dtype=jnp.int32) * (G * G)
+    ).astype(jnp.int32)
+    jends = jnp.concatenate([jstarts[1:], jnp.full(1, N, jnp.int32)])[:LA]
+    jtot = jnp.where(
+        (jends > jstarts[:LA])[:, None],
+        jcs[jnp.clip(jends - 1, 0, N - 1)],
+        0.0,
+    ).reshape(A, L1, 2)[:, 1:]
+    T = jnp.maximum(2.0 * n_pairs, 1e-12)
+    logT = jnp.log(T)
+    asm = jtot[..., 0] / T**2
+    entropy = jtot[..., 1] / T + logT
+
+    # ---- projection sort: hx, sum entropy, diff entropy ------------------
+    V = 2 * G  # value span: endpoints/diffs < G, sums < 2G-1
+    base_e = (0 * LA + al) * V
+    base_s = (1 * LA + al) * V
+    base_d = (2 * LA + al) * V
+    pkey = jnp.concatenate(
+        [base_e + q0i, base_e + q1i, base_s + (q0i + q1i),
+         base_d + jnp.abs(q0i - q1i)]
+    )
+    spk = jnp.sort(pkey)
+    M = pkey.shape[0]
+    prlen, _ = _run_lengths(spk, jnp.int32(M + 3 * LA * V))
+    gid_p = spk // V
+    greset_p = jnp.concatenate([jnp.ones(1, bool), gid_p[1:] != gid_p[:-1]])
+    pcs = _seg_cumsum(-jnp.log(prlen.astype(jnp.float32))[:, None], greset_p)
+    pstarts = jnp.searchsorted(
+        spk, jnp.arange(3 * LA + 1, dtype=jnp.int32) * V
+    ).astype(jnp.int32)
+    pends = jnp.concatenate([pstarts[1:], jnp.full(1, M, jnp.int32)])[: 3 * LA]
+    ptot = jnp.where(
+        (pends > pstarts[: 3 * LA])[:, None],
+        pcs[jnp.clip(pends - 1, 0, M - 1)],
+        0.0,
+    )[..., 0].reshape(3, A, L1)[:, :, 1:]
+    inv_n = 1.0 / jnp.maximum(n_pairs, 1e-12)
+    logn = jnp.log(jnp.maximum(n_pairs, 1e-12))
+    hx = ptot[0] / T + logT
+    sum_ent = ptot[1] * inv_n + logn
+    diff_ent = ptot[2] * inv_n + logn
+
+    # ---- assemble the 13 features ----------------------------------------
+    contrast = acc[..., 1] * inv_n
+    idm = acc[..., 2] * inv_n
+    sum_avg = acc[..., 3] * inv_n
+    sum_var = jnp.maximum(acc[..., 4] * inv_n - sum_avg**2, 0.0)
+    diff_avg = acc[..., 5] * inv_n
+    diff_var = jnp.maximum(contrast - diff_avg**2, 0.0)
+    e_ij = acc[..., 6] * inv_n
+    mu = sum_avg / 2.0
+    # marginal variance over both endpoints: E[v^2] - mu^2 with the
+    # endpoint 2nd moment from the same scatter (T = 2n endpoints)
+    var = jnp.maximum(acc[..., 7] / T - mu**2, 0.0)
+    corr = ((e_ij - mu**2) / jnp.maximum(var, 1e-12)) * (var > 1e-6)
+    # separable joint-entropy bounds: hxy1 == hxy2 == hx + hy == 2*hx
+    im1 = (entropy - 2.0 * hx) / jnp.maximum(hx, 1e-12)
+    im2 = jnp.sqrt(jnp.maximum(1.0 - jnp.exp(-2.0 * (2.0 * hx - entropy)), 0.0))
+    feats = dict(
+        zip(
+            _HARALICK_NAMES,
+            (
+                asm, contrast, corr, var, idm, sum_avg, sum_var,
+                sum_ent, entropy, diff_var, diff_ent, im1, im2,
+            ),
         )
-        acc = jnp.zeros((max_labels + 1, 7), jnp.float32).at[lbl].add(cols)[1:]
-        n_pairs = acc[:, 0]
-        T = jnp.maximum(2.0 * n_pairs, 1e-12)
-        inv_n = 1.0 / jnp.maximum(n_pairs, 1e-12)
-        contrast = acc[:, 1] * inv_n
-        idm = acc[:, 2] * inv_n
-        sum_avg = acc[:, 3] * inv_n
-        sum_var = jnp.maximum(acc[:, 4] * inv_n - sum_avg**2, 0.0)
-        diff_avg = acc[:, 5] * inv_n
-        diff_var = jnp.maximum(contrast - diff_avg**2, 0.0)
-        e_ij = acc[:, 6] * inv_n
-        # marginals: symmetric GLCM -> px == py; both endpoints scatter
-        q0i = q0.astype(jnp.int32)
-        q1i = q1.astype(jnp.int32)
-        px = jnp.zeros((max_labels + 1) * G, jnp.float32)
-        px = px.at[lbl * G + q0i].add(vf).at[lbl * G + q1i].add(vf)
-        px = px.reshape(max_labels + 1, G)[1:] / T[:, None]
-        mu = (px * i_lvl).sum(1)
-        var = jnp.maximum((px * (i_lvl[None] - mu[:, None]) ** 2).sum(1), 0.0)
-        hx = -(px * _safe_log(px)).sum(1)
-        corr = ((e_ij - mu**2) / jnp.maximum(var, 1e-12)) * (var > 1e-6)
-        # sum/diff entropies from small dense histograms
-        ks = (q0i + q1i)
-        p_sum = jnp.zeros((max_labels + 1) * (2 * G - 1), jnp.float32).at[
-            lbl * (2 * G - 1) + ks
-        ].add(vf).reshape(max_labels + 1, 2 * G - 1)[1:] / jnp.maximum(
-            n_pairs, 1e-12
-        )[:, None]
-        sum_ent = -(p_sum * _safe_log(p_sum)).sum(1)
-        ds = jnp.abs(q0i - q1i)
-        p_diff = jnp.zeros((max_labels + 1) * G, jnp.float32).at[
-            lbl * G + ds
-        ].add(vf).reshape(max_labels + 1, G)[1:] / jnp.maximum(
-            n_pairs, 1e-12
-        )[:, None]
-        diff_ent = -(p_diff * _safe_log(p_diff)).sum(1)
-        # nonlinear-in-P terms via count scatter + per-pair gather
-        flat_sym0 = (lbl * G + q0i) * G + q1i
-        flat_sym1 = (lbl * G + q1i) * G + q0i
-        s_counts = jnp.zeros((max_labels + 1) * G * G, jnp.float32)
-        s_counts = s_counts.at[flat_sym0].add(vf).at[flat_sym1].add(vf)
-        s_pair = s_counts[flat_sym0]  # symmetric count of each pair's cell
-        T_px = T[jnp.clip(lbl - 1, 0, max_labels - 1)]
-        asm_cols = jnp.stack(
-            [
-                vf * 2.0 * s_pair,
-                vf * (-2.0) * _safe_log(s_pair / jnp.maximum(T_px, 1e-12)),
-            ],
-            axis=-1,
-        )
-        acc2 = jnp.zeros((max_labels + 1, 2), jnp.float32).at[lbl].add(asm_cols)[1:]
-        asm = acc2[:, 0] / jnp.maximum(T, 1e-12) ** 2
-        entropy = acc2[:, 1] / T
-        # separable joint-entropy bounds: hxy1 == hxy2 == hx + hy == 2*hx
-        denom = jnp.maximum(hx, 1e-12)
-        im1 = (entropy - 2.0 * hx) / denom
-        im2 = jnp.sqrt(
-            jnp.maximum(1.0 - jnp.exp(-2.0 * (2.0 * hx - entropy)), 0.0)
-        )
-        feats = dict(
-            zip(
-                _HARALICK_NAMES,
-                (
-                    asm, contrast, corr, var, idm, sum_avg, sum_var,
-                    sum_ent, entropy, diff_var, diff_ent, im1, im2,
-                ),
-            )
-        )
-        has_pairs = n_pairs > 0
+    )
+    has_pairs = n_pairs > 0
+    for a_idx in range(A):
         for name, v in feats.items():
             out[f"Texture_{name}_{scale}_{a_idx:02d}_256"] = jnp.where(
-                present & has_pairs, v, jnp.nan
+                present & has_pairs[a_idx], v[a_idx], jnp.nan
             )
     return out
 

@@ -26,15 +26,6 @@ import jax.numpy as jnp
 from aliby_tpu.ops.labels import connected_components_hybrid, relabel_dense
 
 
-def _same_label_shift(arr, labels, dy, dx, fill=0.0):
-    H, W = arr.shape
-    a_pad = jnp.pad(arr, 1, constant_values=fill)
-    l_pad = jnp.pad(labels, 1, constant_values=-1)
-    sh = a_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
-    sl = l_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
-    return jnp.where(sl == labels, sh, jnp.nan)
-
-
 @functools.partial(jax.jit, static_argnames=("n_iter", "max_labels"))
 def label_median_centers(
     labels: jnp.ndarray, max_labels: int = 512, n_iter: int = 0
@@ -108,25 +99,39 @@ def masks_to_flows(labels: jnp.ndarray, n_iter: int = 96) -> jnp.ndarray:
     fg = labels > 0
     source = label_median_centers(labels).astype(jnp.float32)
 
+    # The 8 same-label neighbor masks are loop-invariant: precompute them
+    # once as float multipliers instead of re-shifting + comparing the
+    # labels array inside every diffusion iteration (was ~2x the loop cost).
+    offsets = [
+        (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)
+    ]
+    l_pad = jnp.pad(labels, 1, constant_values=-1)
+    same = [
+        (
+            l_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx] == labels
+        ).astype(jnp.float32)
+        for dy, dx in offsets
+    ]
+
+    def _shift(T, dy, dx):
+        t_pad = jnp.pad(T, 1)
+        return t_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+
     def body(_, T):
         T = T + source
         acc = T
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                nb = _same_label_shift(T, labels, dy, dx)
-                acc = acc + jnp.where(jnp.isnan(nb), 0.0, nb)
+        for (dy, dx), m in zip(offsets, same):
+            acc = acc + _shift(T, dy, dx) * m
         return jnp.where(fg, acc / 9.0, 0.0)
 
     T = jax.lax.fori_loop(0, n_iter, body, jnp.zeros((H, W), jnp.float32))
     logT = jnp.log1p(T)
 
     def grad_axis(dy, dx):
-        plus = _same_label_shift(logT, labels, dy, dx)
-        minus = _same_label_shift(logT, labels, -dy, -dx)
-        plus = jnp.where(jnp.isnan(plus), 0.0, plus)
-        minus = jnp.where(jnp.isnan(minus), 0.0, minus)
+        k_plus = offsets.index((dy, dx))
+        k_minus = offsets.index((-dy, -dx))
+        plus = _shift(logT, dy, dx) * same[k_plus]
+        minus = _shift(logT, -dy, -dx) * same[k_minus]
         return (plus - minus) / 2.0
 
     gy = grad_axis(1, 0)
@@ -324,23 +329,31 @@ def fill_label_holes(labels: jnp.ndarray) -> jnp.ndarray:
     comp = connected_components_hybrid(bg, connectivity=1)  # ids in [0, HW]
     cf = comp.reshape(-1)
     n_bins = H * W + 1
-    lab_min = jnp.full(n_bins, _BIG_I32)
-    lab_max = jnp.zeros(n_bins, jnp.int32)
+    # Per-PIXEL neighbor min/max first (elementwise over the 4 shifts), then
+    # a single scatter-min + scatter-max per component — scatter OPS, not
+    # elements, dominate on TPU, and the per-direction version paid 9.
+    # Border contact is folded into the max channel: a border bg pixel
+    # reports a BIG pseudo-neighbor, so its component fails lab_min ==
+    # lab_max (or fails lab_min < BIG when it has no labeled neighbor).
+    pmin = jnp.full((H, W), _BIG_I32)
+    pmax = jnp.zeros((H, W), jnp.int32)
     for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        nb = _shift2(labels, dy, dx, 0).reshape(-1)
-        sel = bg.reshape(-1) & (nb > 0)
-        tgt = jnp.where(sel, cf, 0)
-        lab_min = lab_min.at[tgt].min(jnp.where(sel, nb, _BIG_I32))
-        lab_max = lab_max.at[tgt].max(jnp.where(sel, nb, 0))
+        nb = _shift2(labels, dy, dx, 0)
+        pmin = jnp.minimum(pmin, jnp.where(nb > 0, nb, _BIG_I32))
+        pmax = jnp.maximum(pmax, nb)
     border = jnp.zeros_like(labels, bool)
     border = border.at[0, :].set(True).at[-1, :].set(True)
     border = border.at[:, 0].set(True).at[:, -1].set(True)
-    touches = jnp.zeros(n_bins, jnp.int32).at[
-        jnp.where(bg.reshape(-1), cf, 0)
-    ].max((bg & border).reshape(-1).astype(jnp.int32))
-    fillable = (
-        (lab_min == lab_max) & (lab_min > 0) & (lab_min < _BIG_I32) & (touches == 0)
+    pmax = jnp.where(border, _BIG_I32, pmax)
+    bgf = bg.reshape(-1)
+    tgt = jnp.where(bgf, cf, 0)
+    lab_min = jnp.full(n_bins, _BIG_I32).at[tgt].min(
+        jnp.where(bgf, pmin.reshape(-1), _BIG_I32)
     )
+    lab_max = jnp.zeros(n_bins, jnp.int32).at[tgt].max(
+        jnp.where(bgf, pmax.reshape(-1), 0)
+    )
+    fillable = (lab_min == lab_max) & (lab_min > 0) & (lab_min < _BIG_I32)
     fill_val = jnp.where(fillable, jnp.where(lab_min < _BIG_I32, lab_min, 0), 0)
     return jnp.where(bg & (fill_val[cf].reshape(H, W) > 0),
                      fill_val[cf].reshape(H, W), labels)

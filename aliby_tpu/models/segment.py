@@ -142,14 +142,13 @@ class CellposeTPU:
         flow_iters: int | None = None,
         max_labels: int = 256,
         min_size: int = 15,
-        flow_threshold: float | None = None,
+        flow_threshold: float | None = 0.4,
         fill_holes: bool = True,
     ):
-        # flow_threshold mirrors cellpose's QC (reference model.eval default
-        # 0.4); the engine default stays None until the bundled weights are
-        # retrained against the median-center flow convention — QC compares
-        # predicted vs recomputed flows and old-convention weights would
-        # have every genuine mask dropped.
+        # flow_threshold mirrors cellpose's flow-error QC (the reference's
+        # model.eval default 0.4). The bundled weights are trained against
+        # the same median-center flow convention QC recomputes, so the
+        # default is on; pass None to disable.
         model_kwargs = dict(model_kwargs or {})
         arch = model_kwargs.pop("arch", None)
         is_torch_ckpt = pretrained_path is not None and (
@@ -261,7 +260,7 @@ def _make_cellpose_segmenter(
         flow_iters=kwargs.get("flow_iters"),  # None -> per-checkpoint auto
         max_labels=kwargs.get("max_labels", 256),
         min_size=kwargs.get("min_size", 15),
-        flow_threshold=kwargs.get("flow_threshold"),
+        flow_threshold=kwargs.get("flow_threshold", 0.4),
         fill_holes=kwargs.get("fill_holes", True),
     )
 

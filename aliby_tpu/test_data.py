@@ -81,16 +81,22 @@ def render_cells(
     n_cells: int,
     rng: np.random.Generator,
     nucleus_frac: float = 0.45,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    with_nucleus_labels: bool = False,
+) -> tuple[np.ndarray, ...]:
     """Return (cell_intensity, nucleus_intensity, label_map) for one field.
 
     Cells are rotated ellipses placed without heavy overlap; intensities have
     a soft interior profile so per-label statistics are non-degenerate.
+    With ``with_nucleus_labels`` a fourth array is appended: the per-nucleus
+    label map (same ids as the cell labels) — the ground truth when the
+    *nucleus* channel is the segmentation target, as in the yeast fixture's
+    channel 1 (``_yeast_timelapse``).
     """
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     cells = np.zeros((size, size), np.float32)
     nuclei = np.zeros((size, size), np.float32)
     labels = np.zeros((size, size), np.int32)
+    nuc_labels = np.zeros((size, size), np.int32)
     centers = []
     placed = 0
     attempts = 0
@@ -120,6 +126,9 @@ def render_cells(
         nd2 = (u / (a * nucleus_frac)) ** 2 + (v / (b * nucleus_frac)) ** 2
         nprofile = np.clip(1.2 - nd2, 0, None).astype(np.float32)
         nuclei = np.maximum(nuclei, nprofile * rng.uniform(0.7, 1.0))
+        nuc_labels[(nd2 <= 1.0) & (nuc_labels == 0)] = placed
+    if with_nucleus_labels:
+        return cells, nuclei, labels, nuc_labels
     return cells, nuclei, labels
 
 

@@ -1,6 +1,7 @@
 """Train the flagship CellposeNet on synthetic fields and bundle weights.
 
-Run on the TPU chip:  python scripts/train_flagship.py [n_steps] [--budding F]
+Run on the TPU chip:
+  python scripts/train_flagship.py [n_steps] [--budding F] [--nuclei F]
 Writes aliby_tpu/models/weights/cellpose_synthetic.msgpack (f16 msgpack).
 
 ``--budding 0.4`` mixes 40% budding-yeast frames (attached mother+bud
@@ -21,10 +22,20 @@ import numpy as np
 def main():
     argv = sys.argv[1:]
     budding = 0.0
+    nuclei = 0.0
     if "--budding" in argv:
         i = argv.index("--budding")
         budding = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]  # drop the flag AND its value
+    if "--nuclei" in argv:
+        i = argv.index("--nuclei")
+        nuclei = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    lr_override = None
+    if "--lr" in argv:
+        i = argv.index("--lr")
+        lr_override = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
     args = [a for a in argv if not a.startswith("--")]
     n_steps = int(args[0]) if args else 400
     import jax
@@ -48,13 +59,17 @@ def main():
         print("resuming from bundled weights", flush=True)
     resumed = BUNDLED_WEIGHTS.exists() and "--fresh" not in sys.argv
     peak_lr = 5e-4 if resumed else 2e-3  # lower restart lr on warm weights
+    if lr_override is not None:
+        peak_lr = lr_override
     tx = optax.adamw(optax.cosine_decay_schedule(peak_lr, n_steps, 0.05))
     opt_state = tx.init(params)
     step = make_train_step(model, tx)
 
     t0 = time.time()
     for i in range(n_steps):
-        batch = synthetic_batch(rng, batch=8, size=128, budding_frac=budding)
+        batch = synthetic_batch(
+            rng, batch=8, size=128, budding_frac=budding, nuclei_frac=nuclei
+        )
         params, opt_state, metrics = step(params, opt_state, batch)
         if (i + 1) % 25 == 0 or i == 0:
             print(
@@ -72,11 +87,16 @@ def main():
     cand_path = BUNDLED_WEIGHTS.with_suffix(".candidate.msgpack")
     save_params(params, cand_path)
     new_scores = heldout_iou(cand_path)
-    old_scores = heldout_iou(BUNDLED_WEIGHTS) if resumed else {"plain": 0, "budding": 0}
+    old_scores = (
+        heldout_iou(BUNDLED_WEIGHTS)
+        if resumed
+        else {"plain": 0, "budding": 0, "nuclei": 0}
+    )
     print(f"held-out IoU: old={old_scores} new={new_scores}", flush=True)
     if (
         new_scores["plain"] >= old_scores["plain"] - 0.005
-        and new_scores["budding"] >= old_scores["budding"]
+        and new_scores["budding"] >= old_scores["budding"] - 0.005
+        and new_scores["nuclei"] >= old_scores["nuclei"] - 0.005
     ):
         save_params(params, BUNDLED_WEIGHTS)
         cand_path.unlink()
@@ -131,9 +151,18 @@ def heldout_iou(weights_path, n_plain: int = 6, n_budding: int = 6) -> dict:
         )
         img2 = np.stack([frames[-1].astype(np.float32), np.zeros_like(frames[-1], np.float32)])
         budding.append(mean_iou(img2, labels_t[-1]))
+    nuclei_scores = []
+    for _ in range(n_plain):
+        cells, nuclei, _, nuc_labels = render_cells(
+            128, int(rng.integers(6, 16)), rng, with_nucleus_labels=True
+        )
+        noise = rng.normal(0, 0.03, cells.shape).astype(np.float32)
+        img2 = np.stack([nuclei + noise, (cells - nuclei).clip(0) + noise])
+        nuclei_scores.append(mean_iou(img2, nuc_labels))
     return {
         "plain": round(float(np.mean(plain)), 4),
         "budding": round(float(np.mean(budding)), 4),
+        "nuclei": round(float(np.mean(nuclei_scores)), 4),
     }
 
 
