@@ -58,22 +58,52 @@ def compile_fused_step(objects: Sequence[FusedObject], max_labels: int = 256):
             obj_plans.append((instructions, entries, slot_of, inst_lookup))
         plans.append(obj_plans)
 
+    # Objects sharing ONE engine instance (dispatch_segmenter memoizes
+    # engines by configuration) segment as a single concatenated batch: the
+    # dynamics stages (diffusion / pointer doubling / corridor expansion /
+    # QC) are long chains of small sequential kernels, so k objects through
+    # one (k*F, ...) call cost ~1/k of k separate calls.
+    seg_groups: list[list[int]] = []
+    _group_of: dict[int, int] = {}
+    for oi, obj in enumerate(objects):
+        key = id(obj.engine)
+        if key in _group_of:
+            seg_groups[_group_of[key]].append(oi)
+        else:
+            _group_of[key] = len(seg_groups)
+            seg_groups.append([oi])
+
+    # Trees with identical compiled plans (same entries + image slots) are
+    # likewise evaluated once over the objects' concatenated label stacks —
+    # the per-family scatters/sorts run on (k*F, ...) instead of k times.
+    tree_groups: dict[tuple, list[tuple[int, int]]] = {}
+    for oi, obj_plans in enumerate(plans):
+        for ti, (_insts, entries, slot_of, _lookup) in enumerate(obj_plans):
+            key = (
+                tuple(entries),
+                tuple(sorted(slot_of.items(), key=lambda item: item[1])),
+            )
+            tree_groups.setdefault(key, []).append((oi, ti))
+
     names_box: list = []
 
     @jax.jit
     def step(params_list, pixels):
         """pixels: (F, C, Z, Y, X) float32."""
-        all_labels = []
-        all_feats = []
-        names_acc = []
-        for oi, obj in enumerate(objects):
-            main = pixels[:, obj.channel]
-            main = main.max(axis=1)
+        F = pixels.shape[0]
+
+        def obj_images(obj):
+            main = pixels[:, obj.channel].max(axis=1)
             if obj.second_channel is not None:
                 sec = pixels[:, obj.second_channel].max(axis=1)
             else:
                 sec = jnp.zeros_like(main)
-            images = jnp.stack([main, sec], axis=1)  # (F, 2, Y, X)
+            return jnp.stack([main, sec], axis=1)  # (F, 2, Y, X)
+
+        all_labels: list = [None] * len(objects)
+        for group in seg_groups:
+            engine = objects[group[0]].engine
+            images = jnp.concatenate([obj_images(objects[oi]) for oi in group])
             # U-Net needs H/W divisible by 8 (3 pooling levels); pad + crop
             H, W = images.shape[-2:]
             ph, pw = (-H) % 8, (-W) % 8
@@ -81,22 +111,39 @@ def compile_fused_step(objects: Sequence[FusedObject], max_labels: int = 256):
                 images = jnp.pad(
                     images, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="reflect"
                 )
-            labels = obj.engine._segment_all(params_list[oi], images)
+            labels = engine._segment_all(params_list[group[0]], images)
             labels = labels[:, :H, :W]
-            all_labels.append(labels)
-            obj_feats = []
-            obj_names = []
-            for _insts, entries, slot_of, _lookup in plans[oi]:
-                imgs = [None] * len(slot_of)
-                for (ch, red_z), si in slot_of.items():
-                    imgs[si] = jax.vmap(
-                        lambda zyx: reduce_z_traced(zyx, red_z)
-                    )(pixels[:, ch].astype(jnp.float32))
-                names, arr = tree_collect(entries, labels, imgs, max_labels)
-                obj_feats.append(arr)
-                obj_names.append(names)
-            all_feats.append(obj_feats)
-            names_acc.append(obj_names)
+            for k, oi in enumerate(group):
+                all_labels[oi] = labels[k * F : (k + 1) * F]
+
+        slot_cache: dict = {}
+
+        def slot_img(ch, red_z):
+            if (ch, red_z) not in slot_cache:
+                slot_cache[(ch, red_z)] = jax.vmap(
+                    lambda zyx: reduce_z_traced(zyx, red_z)
+                )(pixels[:, ch].astype(jnp.float32))
+            return slot_cache[(ch, red_z)]
+
+        all_feats: list = [
+            [None] * len(obj.trees) for obj in objects
+        ]
+        names_acc: list = [[None] * len(obj.trees) for obj in objects]
+        for members in tree_groups.values():
+            oi0, ti0 = members[0]
+            _insts, entries, slot_of, _lookup = plans[oi0][ti0]
+            imgs = [None] * len(slot_of)
+            for (ch, red_z), si in slot_of.items():
+                imgs[si] = slot_img(ch, red_z)
+            k = len(members)
+            labels_cat = jnp.concatenate([all_labels[oi] for oi, _ in members])
+            imgs_cat = [
+                (jnp.concatenate([im] * k) if k > 1 else im) for im in imgs
+            ]
+            names, arr = tree_collect(entries, labels_cat, imgs_cat, max_labels)
+            for j, (oi, ti) in enumerate(members):
+                all_feats[oi][ti] = arr[:, j * F : (j + 1) * F]
+                names_acc[oi][ti] = names
         if not names_box:
             names_box.append(names_acc)
         return all_labels, all_feats

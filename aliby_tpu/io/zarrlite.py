@@ -106,14 +106,21 @@ def _decompress(buf: bytes, compressor: dict | None, out_nbytes: int, typesize: 
     if cid in ("jpegxl", "imagecodecs_jpegxl", "jxl"):
         # The reference registers imagecodecs' Jpegxl numcodec at import
         # (pipe_core.py:19,34) so JXL-chunked Cell Painting stores decode
-        # transparently. We do the same when imagecodecs is importable.
+        # transparently. First-party path: a ctypes binding over the
+        # system libjxl (io/jxl.py — no Python package needed); fall back
+        # to imagecodecs only if libjxl is absent.
+        from aliby_tpu.io import jxl as _jxl
+
+        if _jxl.available():
+            return np.ascontiguousarray(_jxl.decode(buf)).tobytes()
         try:
             import imagecodecs
         except ImportError as e:
             raise RuntimeError(
                 "This zarr store uses JPEG-XL-compressed chunks "
-                f"(compressor id {cid!r}); decoding requires the "
-                "'imagecodecs' package, which is not installed."
+                f"(compressor id {cid!r}); decoding requires the system "
+                "libjxl shared library (or the 'imagecodecs' package), "
+                "neither of which is available."
             ) from e
         return np.ascontiguousarray(imagecodecs.jpegxl_decode(buf)).tobytes()
     raise NotImplementedError(f"zarr compressor {cid!r}")
@@ -275,12 +282,23 @@ def write_array(
     attrs: dict | None = None,
     compressor: str | None = "zlib",
 ) -> None:
-    """Write a v2 directory-store array (zlib or raw) — fixtures and outputs."""
+    """Write a v2 directory-store array (zlib, jpegxl or raw) — fixtures and
+    outputs. ``jpegxl`` requires image-shaped chunks (all leading chunk dims
+    1, trailing (Y, X) = the image plane) and encodes each chunk losslessly
+    through the first-party libjxl binding (``io/jxl.py``)."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     if chunks is None:
         chunks = (1,) * max(0, arr.ndim - 2) + arr.shape[max(0, arr.ndim - 2):]
-    comp_meta = {"id": "zlib", "level": 1} if compressor == "zlib" else None
+    if compressor == "jpegxl":
+        if any(c != 1 for c in chunks[:-2]) or len(chunks) < 2:
+            raise ValueError(
+                "jpegxl compression needs (1, ..., 1, Y, X) image chunks; "
+                f"got {chunks}"
+            )
+        comp_meta = {"id": "jpegxl"}
+    else:
+        comp_meta = {"id": "zlib", "level": 1} if compressor == "zlib" else None
     meta = {
         "zarr_format": 2,
         "shape": list(arr.shape),
@@ -303,9 +321,14 @@ def write_array(
         block = np.zeros(chunks, dtype=arr.dtype)
         view = arr[sel]
         block[tuple(slice(0, v) for v in view.shape)] = view
-        payload = block.tobytes()
-        if comp_meta:
-            payload = zlib.compress(payload, 1)
+        if comp_meta and comp_meta["id"] == "jpegxl":
+            from aliby_tpu.io import jxl as _jxl
+
+            payload = _jxl.encode(block.reshape(block.shape[-2:]))
+        else:
+            payload = block.tobytes()
+            if comp_meta:
+                payload = zlib.compress(payload, 1)
         (path / ".".join(map(str, coords))).write_bytes(payload)
 
 

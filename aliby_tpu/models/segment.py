@@ -246,6 +246,32 @@ class CellposeTPU:
         return [_to_uint16(m) for m in out]
 
 
+_ENGINE_CACHE: dict[tuple, CellposeTPU] = {}
+
+
+def _freeze(v):
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
+def _get_engine(**kw) -> CellposeTPU:
+    """Engine instances are immutable after init (params + jitted program),
+    so identical configurations share ONE instance. Besides memory, this
+    lets the fused whole-step program (``engine.fused``) batch every object
+    that uses the same engine through a single segmentation call — the
+    dynamics stages are sequential small kernels, so halving their count
+    roughly halves their wall-clock."""
+    key = _freeze(
+        {**kw, "pretrained_path": str(kw.get("pretrained_path"))}
+    )
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = CellposeTPU(**kw)
+    return _ENGINE_CACHE[key]
+
+
 def _make_cellpose_segmenter(
     channel_to_segment: int = 0,
     second_channel: int | None = None,
@@ -253,7 +279,7 @@ def _make_cellpose_segmenter(
     stitch_threshold: float = 0.01,
     **kwargs,
 ):
-    engine = CellposeTPU(
+    engine = _get_engine(
         pretrained_path=kwargs.get("pretrained_path"),
         model_kwargs=kwargs.get("model_kwargs"),
         cellprob_threshold=kwargs.get("cellprob_threshold", 0.0),

@@ -12,6 +12,9 @@ network, so the same modalities are *generated* deterministically:
 - ``yeast_zarr``             TCZYX zarr store, 2 positions, (4,3,3,293,293)
   uint16 matching the reference fixture shape
   (``examples/03_yeast_timelapse_baby.py:48-51``).
+- ``cellpainting_zarr_jxl``  the cellpainting_zarr pixels with
+  JPEG-XL-compressed chunks (first-party libjxl binding, lossless) — the
+  codec the reference registers unconditionally (``pipe_core.py:19,34``).
 
 Images contain synthetic cells (anisotropic Gaussian blobs thresholded into
 ellipses) so segmentation/extraction produce non-trivial profiles.
@@ -59,6 +62,15 @@ DATASETS = {
         "name": "yeast_zarr",
         "capture_order": "TCZYX",
         "channels": {"Brightfield": 0, "GFP": 1, "mCherry": 2},
+        "kind": "zarr",
+    },
+    "cellpainting_zarr_jxl": {
+        # the reference's JXL-chunked plate layout (it registers the Jpegxl
+        # numcodec unconditionally, pipe_core.py:19,34); chunks encoded by
+        # the first-party libjxl binding (io/jxl.py), lossless
+        "name": "cellpainting_zarr_jxl",
+        "capture_order": "CYX",
+        "channels": dict(CP_CHANNELS),
         "kind": "zarr",
     },
 }
@@ -337,6 +349,16 @@ def _build_cellpainting_zarr(root: Path) -> None:
         zarrlite.write_array(root / f"{well}", stack, chunks=(1, 256, 256))
 
 
+def _build_cellpainting_zarr_jxl(root: Path) -> None:
+    # identical pixels to cellpainting_zarr — only the chunk codec differs,
+    # so dataset-level tests can assert decode equality across codecs
+    for wi, well in enumerate(["A01", "B02"]):
+        stack, _ = _channel_stack(256, 24, seed=100 + wi * 10 + 1)
+        zarrlite.write_array(
+            root / f"{well}", stack, chunks=(1, 256, 256), compressor="jpegxl"
+        )
+
+
 def _yeast_timelapse(seed: int, T: int = 4, C: int = 3, Z: int = 3, size: int = 293):
     """A drifting yeast-like time-lapse, (T, C, Z, Y, X) uint16."""
     rng = np.random.default_rng(seed)
@@ -392,6 +414,7 @@ _BUILDERS = {
     "yeast_tiff": _build_yeast_tiff,
     "yeast_multitiff": _build_yeast_multitiff,
     "yeast_zarr": _build_yeast_zarr,
+    "cellpainting_zarr_jxl": _build_cellpainting_zarr_jxl,
 }
 
 

@@ -64,7 +64,21 @@ def test_all_datasets_known():
         "yeast_tiff",
         "yeast_multitiff",
         "yeast_zarr",
+        "cellpainting_zarr_jxl",
     }
+
+
+def test_jxl_plate_matches_zlib_plate(data_dir):
+    """The JXL-chunked plate decodes bit-identically to the zlib one
+    (lossless first-party libjxl codec over the same pixels)."""
+    from aliby_tpu.io import jxl
+    from aliby_tpu.io.zarrlite import ZarrArray
+
+    if not jxl.available():
+        pytest.skip("system libjxl not present")
+    a = ZarrArray(get_dataset_path("cellpainting_zarr") / "A01")
+    b = ZarrArray(get_dataset_path("cellpainting_zarr_jxl") / "A01")
+    np.testing.assert_array_equal(a[:], b[:])
 
 
 def test_grouping_string_sort(tmp_path):

@@ -112,8 +112,8 @@ def _write_v2_node(tmp_path, name, arr, compressor, payload):
     return node
 
 
-def test_jpegxl_missing_imagecodecs_names_codec(tmp_path, monkeypatch):
-    """JXL chunks without imagecodecs raise a clear error naming the codec.
+def test_jpegxl_no_decoder_names_codec(tmp_path, monkeypatch):
+    """JXL chunks with neither libjxl nor imagecodecs raise a clear error.
 
     Mirrors the reference's unconditional Jpegxl numcodec registration
     (reference pipe_core.py:19,34): decode when possible, never a bare
@@ -121,31 +121,96 @@ def test_jpegxl_missing_imagecodecs_names_codec(tmp_path, monkeypatch):
     """
     import sys
 
+    from aliby_tpu.io import jxl
+
     arr = np.zeros((4, 4), np.uint16)
     node = _write_v2_node(
         tmp_path, "jxl", arr, {"id": "imagecodecs_jpegxl"}, b"\xff\x0a fake"
     )
+    monkeypatch.setattr(jxl, "available", lambda: False)
     # None in sys.modules makes `import imagecodecs` raise ImportError
     monkeypatch.setitem(sys.modules, "imagecodecs", None)
     z = zarrlite.ZarrArray(node)
-    with pytest.raises(RuntimeError, match="JPEG-XL.*imagecodecs"):
+    with pytest.raises(RuntimeError, match="JPEG-XL.*libjxl.*imagecodecs"):
         z[:]
 
 
-def test_jpegxl_decodes_via_imagecodecs(tmp_path, monkeypatch):
-    """When imagecodecs is importable, JXL chunks decode through it."""
+def test_jpegxl_decodes_via_imagecodecs_fallback(tmp_path, monkeypatch):
+    """Without libjxl, JXL chunks fall back to imagecodecs if importable."""
     import sys
     import types
+
+    from aliby_tpu.io import jxl
 
     arr = np.arange(16, dtype=np.uint16).reshape(4, 4)
     node = _write_v2_node(
         tmp_path, "jxl_ok", arr, {"id": "jpegxl"}, b"JXLPAYLOAD"
     )
+    monkeypatch.setattr(jxl, "available", lambda: False)
     fake = types.ModuleType("imagecodecs")
     fake.jpegxl_decode = lambda buf: arr  # stands in for the real decoder
     monkeypatch.setitem(sys.modules, "imagecodecs", fake)
     z = zarrlite.ZarrArray(node)
     np.testing.assert_array_equal(z[:], arr)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "aliby_tpu.io.jxl", fromlist=["available"]
+    ).available(),
+    reason="system libjxl not present",
+)
+class TestJxlFirstParty:
+    """First-party libjxl ctypes codec (io/jxl.py): the path the reference
+    exercises through imagecodecs' Jpegxl numcodec (pipe_core.py:19,34)."""
+
+    def test_encode_decode_roundtrip_dtypes(self):
+        from aliby_tpu.io import jxl
+
+        rng = np.random.default_rng(7)
+        for arr in (
+            rng.integers(0, 2**16, (40, 56), dtype=np.uint16),
+            rng.integers(0, 255, (31, 17), dtype=np.uint8),
+            rng.random((24, 24)).astype(np.float32),
+            rng.integers(0, 255, (20, 30, 3), dtype=np.uint8),
+        ):
+            out = jxl.decode(jxl.encode(arr))
+            assert out.dtype == arr.dtype and out.shape == arr.shape
+            np.testing.assert_array_equal(out, arr)
+
+    def test_truncated_stream_raises(self):
+        from aliby_tpu.io import jxl
+
+        buf = jxl.encode(np.zeros((8, 8), np.uint16))
+        with pytest.raises((ValueError, RuntimeError)):
+            jxl.decode(buf[: len(buf) // 2])
+
+    def test_zarr_store_with_jxl_chunks(self, tmp_path):
+        """A jpegxl-compressed v2 store round-trips bit-exactly through
+        ZarrArray — the reference's JXL-chunked Cell Painting plate layout."""
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 2**16, (2, 3, 24, 33), dtype=np.uint16)
+        zarrlite.write_array(
+            tmp_path / "plate", arr, chunks=(1, 1, 24, 33), compressor="jpegxl"
+        )
+        z = zarrlite.ZarrArray(tmp_path / "plate")
+        np.testing.assert_array_equal(z[:], arr)
+        np.testing.assert_array_equal(z[1, 2], arr[1, 2])
+
+    def test_image_zarr_over_jxl_plate(self, tmp_path):
+        """ImageZarr serves TCZYX frames from a JXL-compressed store."""
+        from aliby_tpu.io.image import ImageZarr
+
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 2**16, (2, 2, 1, 16, 16), dtype=np.uint16)
+        zarrlite.write_array(
+            tmp_path / "pos0", arr, chunks=(1, 1, 1, 16, 16),
+            compressor="jpegxl",
+        )
+        img = ImageZarr(tmp_path / "pos0")
+        np.testing.assert_array_equal(
+            np.asarray(img.data[1, 0, 0]), arr[1, 0, 0]
+        )
 
 
 def test_lz4_top_level_compressor(tmp_path):
