@@ -323,40 +323,63 @@ def fill_label_holes(labels: jnp.ndarray) -> jnp.ndarray:
     background component that does not touch the image border and is
     adjacent to exactly one label is assigned that label. (Nested-mask
     pockets adjacent to two labels stay background, which matches upstream
-    for non-nested masks — the overwhelmingly common case.)"""
+    for non-nested masks — the overwhelmingly common case.)
+
+    The outer background sea spans the whole image, so CC over ALL of bg
+    pays ~log4(diameter) hook+jump rounds of scatter+gather. Prefilter:
+    ``vis`` = bg pixels straight-line visible from the border through bg
+    (4 cumsums). A straight bg line from the border is itself a 4-connected
+    bg path, so vis pixels can never be hole pixels — exactly the sea's
+    convex-ish bulk. CC then runs only on ``rest = bg & ~vis`` (holes +
+    concave pockets, all small), where the cheap local sweep converges and
+    the while_loop exits after ~1 round. Rest fragments of border-touching
+    components are 4-adjacent to a vis pixel (the first step off the
+    fragment inside bg lands on vis), so folding vis-adjacency into the
+    border channel keeps exterior pockets unfilled — bit-identical output
+    (equivalence swept in tests + adversarial C/U/nested-annulus shapes).
+    """
     H, W = labels.shape
     bg = labels == 0
-    comp = connected_components_hybrid(bg, connectivity=1)  # ids in [0, HW]
+    blocked = (~bg).astype(jnp.int32)
+    vis = (
+        (jnp.cumsum(blocked, axis=0) == 0)
+        | (jnp.cumsum(blocked[::-1], axis=0)[::-1] == 0)
+        | (jnp.cumsum(blocked, axis=1) == 0)
+        | (jnp.cumsum(blocked[:, ::-1], axis=1)[:, ::-1] == 0)
+    ) & bg
+    rest = bg & ~vis
+    comp = connected_components_hybrid(rest, connectivity=1)  # ids in [0, HW]
     cf = comp.reshape(-1)
     n_bins = H * W + 1
     # Per-PIXEL neighbor min/max first (elementwise over the 4 shifts), then
     # a single scatter-min + scatter-max per component — scatter OPS, not
     # elements, dominate on TPU, and the per-direction version paid 9.
-    # Border contact is folded into the max channel: a border bg pixel
+    # Border/vis contact is folded into the max channel: such a pixel
     # reports a BIG pseudo-neighbor, so its component fails lab_min ==
     # lab_max (or fails lab_min < BIG when it has no labeled neighbor).
     pmin = jnp.full((H, W), _BIG_I32)
     pmax = jnp.zeros((H, W), jnp.int32)
     for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
         nb = _shift2(labels, dy, dx, 0)
+        nvis = _shift2(vis, dy, dx, False)
         pmin = jnp.minimum(pmin, jnp.where(nb > 0, nb, _BIG_I32))
-        pmax = jnp.maximum(pmax, nb)
+        pmax = jnp.maximum(pmax, jnp.where(nvis, _BIG_I32, nb))
     border = jnp.zeros_like(labels, bool)
     border = border.at[0, :].set(True).at[-1, :].set(True)
     border = border.at[:, 0].set(True).at[:, -1].set(True)
     pmax = jnp.where(border, _BIG_I32, pmax)
-    bgf = bg.reshape(-1)
-    tgt = jnp.where(bgf, cf, 0)
+    rf = rest.reshape(-1)
+    tgt = jnp.where(rf, cf, 0)
     lab_min = jnp.full(n_bins, _BIG_I32).at[tgt].min(
-        jnp.where(bgf, pmin.reshape(-1), _BIG_I32)
+        jnp.where(rf, pmin.reshape(-1), _BIG_I32)
     )
     lab_max = jnp.zeros(n_bins, jnp.int32).at[tgt].max(
-        jnp.where(bgf, pmax.reshape(-1), 0)
+        jnp.where(rf, pmax.reshape(-1), 0)
     )
     fillable = (lab_min == lab_max) & (lab_min > 0) & (lab_min < _BIG_I32)
-    fill_val = jnp.where(fillable, jnp.where(lab_min < _BIG_I32, lab_min, 0), 0)
-    return jnp.where(bg & (fill_val[cf].reshape(H, W) > 0),
-                     fill_val[cf].reshape(H, W), labels)
+    fill_val = jnp.where(fillable, lab_min, 0)
+    fv = fill_val[cf].reshape(H, W)
+    return jnp.where(rest & (fv > 0), fv, labels)
 
 
 @functools.partial(
