@@ -7,7 +7,8 @@ is jit-native:
   center (same-label masked neighborhood averaging, fixed iterations) —
   flows are the normalized gradient of the log-heat, cellpose's definition.
 - ``follow_flows``: fixed-iteration Euler integration of predicted flows
-  with bilinear sampling, as a ``lax.scan`` (no data-dependent trip counts).
+  with bilinear sampling, reformulated gather-free (stencil selects +
+  successor-key propagation; see its docstring).
 - ``masks_from_flows``: pixels that converged to the same sink become one
   object — the published cellpose ``compute_masks`` stage order (histogram
   local-max seeds, 5-round corridor expansion, megamask removal, optional
@@ -23,7 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from aliby_tpu.ops.labels import connected_components_hybrid, relabel_dense
+from aliby_tpu.ops.labels import relabel_dense
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "max_labels"))
@@ -57,26 +58,40 @@ def label_median_centers(
         k_hi = n // 2 + 1
         lo = jnp.argmax(cum >= k_lo[:, None], axis=1)
         hi = jnp.argmax(cum >= k_hi[:, None], axis=1)
-        return (lo + hi).astype(jnp.float32) / 2.0  # (L+1,)
+        return (lo + hi).astype(jnp.int32)  # (L+1,) 2*median, exact int
 
-    ymed = coord_median(yy, H)
-    xmed = coord_median(xx, W)
-    # snap to the nearest in-object pixel, ties -> first in raster order.
-    # d2 is quarter-integer valued; x4 makes it exactly int32.
-    d2i = (
-        (2 * yy - 2 * ymed[flat_l].reshape(H, W)).astype(jnp.int32) ** 2
-        + (2 * xx - 2 * xmed[flat_l].reshape(H, W)).astype(jnp.int32) ** 2
-    ).reshape(-1)
-    best_d = jnp.full(max_labels + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
-        jnp.where(fgf, flat_l, 0)
-    ].min(jnp.where(fgf, d2i, jnp.iinfo(jnp.int32).max))
-    at_best = fgf & (d2i == best_d[flat_l])
+    # Snap to the nearest in-object pixel (ties -> first in raster order)
+    # with THREE 1M-element ops total (2 histogram scatters + 1 packed
+    # scatter-min + 1 small-table gather) instead of the naive
+    # 4-scatter/4-gather chain — scatters and gathers at HW elements cost
+    # ~10-15 ms each on v5e, everything else here is noise:
+    # - the two medians ride one int32 table lookup (2*ymed << 16 | 2*xmed);
+    # - the per-label argmin rides ONE scatter-min of (d2 << 16 | pos),
+    #   d2 capped at 2^15-1 (quarter-px-exact out to ~90 px from the
+    #   median; a farther pixel can win only if NO pixel is nearer, where
+    #   any deterministic in-object choice serves as the center);
+    # - centers paint back with an L-sized scatter, not an HW gather.
+    ymed2 = coord_median(yy, H)
+    xmed2 = coord_median(xx, W)
+    med_packed = (ymed2 << 16) | xmed2
+    mp = med_packed[flat_l]
+    dy = 2 * yy.reshape(-1) - (mp >> 16)
+    dx = 2 * xx.reshape(-1) - (mp & 0xFFFF)
+    # cap at 2^15 - 2 so even the largest real key stays below the int32
+    # sentinel ((32767 << 16) | 65535 == iinfo.max would alias it)
+    d2i = jnp.minimum(dy * dy + dx * dx, (1 << 15) - 2)
     pos = jnp.arange(H * W, dtype=jnp.int32)
-    first = jnp.full(max_labels + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
-        jnp.where(at_best, flat_l, 0)
-    ].min(jnp.where(at_best, pos, jnp.iinfo(jnp.int32).max))
-    is_center = at_best & (pos == first[flat_l]) & (flat_l > 0)
-    return is_center.reshape(H, W)
+    key = (d2i << 16) | pos
+    best = jnp.full(max_labels + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
+        jnp.where(fgf, flat_l, 0)
+    ].min(jnp.where(fgf, key, jnp.iinfo(jnp.int32).max))
+    lab_ids = jnp.arange(1, max_labels + 1, dtype=jnp.int32)
+    valid = best[1:] < jnp.iinfo(jnp.int32).max
+    center_pos = jnp.where(valid, best[1:] & 0xFFFF, 0)
+    centers = jnp.zeros(H * W, jnp.bool_).at[
+        jnp.where(valid, center_pos, H * W - 1)
+    ].max(valid & (lab_ids > 0))
+    return centers.reshape(H, W)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter",))
@@ -166,63 +181,143 @@ def _bilinear(field: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray) -> jnp.ndarr
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter", "n_doubling"))
+@functools.partial(jax.jit, static_argnames=("n_iter", "n_prop"))
 def follow_flows(
     flows: jnp.ndarray,
     fg: jnp.ndarray,
     n_iter: int = 2,
-    n_doubling: int = 8,
+    n_prop: int = 96,
 ) -> jnp.ndarray:
     """Integrate pixels along (2, H, W) flows; returns final (2, H, W) positions.
 
-    Hybrid scheme replacing cellpose's 200 Euler steps: a few bilinear Euler
-    steps smooth the approach, then the *successor map* (each pixel's
-    rounded one-step destination) is pointer-doubled — ``n_doubling``
-    squarings compose up to ``2**n_doubling`` further steps with one integer
-    gather each, ~40x fewer gather ops for the same basin convergence.
+    Hybrid scheme replacing cellpose's 200 Euler steps: ``n_iter`` bilinear
+    Euler steps smooth the approach, then ``n_prop`` composed steps of the
+    *successor map* (each pixel's rounded one-step destination) finish basin
+    convergence. TPU formulation is gather-free where it counts — gathers on
+    v5e run ~13 ms per 1M random indices, so the earlier 2-Euler(+8 bilinear
+    gathers) + 8-pointer-doubling design cost ~225 ms/16 images:
+
+    - Euler step 1 starts at integer grid positions, where bilinear sampling
+      IS the pixel value — a direct read, zero gathers.
+    - Euler step 2's positions lie in [p-1, p+1] (unit flows), so all four
+      bilinear corners live in the 4x4 neighborhood — select over static
+      shifts. (Steps 3+, used only by ported torch checkpoints, keep true
+      bilinear gathers; positions drift beyond any fixed stencil.)
+    - The successor of each grid pixel is one rounded unit step — always
+      within its own 3x3 neighborhood — so ``succ^N`` is N rounds of
+      neighbor shift-select key propagation, not N (or log N) gathers.
+    Only 3 real gathers remain (composed key at the rounded Euler endpoint
+    + 2 cycle-collapse lookups): 72 ms/16 images, masks identical.
     """
     _, H, W = flows.shape
-    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    fy, fx = flows[0], flows[1]
 
-    def step(carry, _):
-        py, px = carry
-        v = _bilinear(flows, py, px)
-        return (py + v[0], px + v[1]), None
+    # Euler step 1: integer start -> bilinear == direct read.
+    py = jnp.clip(yy + fy, 0.0, H - 1.0) if n_iter >= 1 else yy
+    px = jnp.clip(xx + fx, 0.0, W - 1.0) if n_iter >= 1 else xx
 
-    (py, px), _ = jax.lax.scan(step, (yy, xx), None, length=n_iter)
+    if n_iter >= 2:
+        # Euler step 2: bilinear at p1 via stencil-select. Corner base
+        # offset floor(p1)-p is in {-1,0,1} per axis; corners at base+{0,1}.
+        oy = jnp.clip(jnp.floor(py) - yy, -1.0, 1.0).astype(jnp.int32)
+        ox = jnp.clip(jnp.floor(px) - xx, -1.0, 1.0).astype(jnp.int32)
+        ty = py - jnp.floor(py)
+        tx = px - jnp.floor(px)
 
-    if n_doubling > 0:
-        # successor of each *grid pixel*: one rounded flow step
-        sy = jnp.clip(jnp.round(yy + flows[0].reshape(-1)), 0, H - 1)
-        sx = jnp.clip(jnp.round(xx + flows[1].reshape(-1)), 0, W - 1)
-        succ = (sy * W + sx).astype(jnp.int32)
+        def sample(field):
+            fp = jnp.pad(field, 2)
+            vals = {
+                (dy, dx): fp[2 + dy : H + 2 + dy, 2 + dx : W + 2 + dx]
+                for dy in (-1, 0, 1, 2)
+                for dx in (-1, 0, 1, 2)
+            }
 
-        succ1 = succ
+            def pick(ay, ax):
+                out = jnp.zeros_like(field)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        sel = (oy == dy) & (ox == dx)
+                        out = jnp.where(sel, vals[(dy + ay, dx + ax)], out)
+                return out
 
-        def double(_, s):
-            return s[s]
+            return (
+                pick(0, 0) * (1 - ty) * (1 - tx)
+                + pick(0, 1) * (1 - ty) * tx
+                + pick(1, 0) * ty * (1 - tx)
+                + pick(1, 1) * ty * tx
+            )
 
-        succ = jax.lax.fori_loop(0, n_doubling, double, succ)
-        # chase the composed successor map from the Euler end-points
+        py = jnp.clip(py + sample(fy), 0.0, H - 1.0)
+        px = jnp.clip(px + sample(fx), 0.0, W - 1.0)
+
+    if n_iter > 2:  # ported-torch-checkpoint schedule: true bilinear
+        pyf, pxf = py.reshape(-1), px.reshape(-1)
+
+        def step(carry, _):
+            py, px = carry
+            v = _bilinear(flows, py, px)
+            return (py + v[0], px + v[1]), None
+
+        (pyf, pxf), _ = jax.lax.scan(step, (pyf, pxf), None, length=n_iter - 2)
+        py, px = pyf.reshape(H, W), pxf.reshape(H, W)
+
+    if n_prop > 0:
+        yi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        # one rounded unit step, clamped to the 3x3 neighborhood (unit-flow
+        # fields stay within it anyway) so the propagation select and the
+        # cycle-collapse lookups walk the SAME successor map
+        dy1 = jnp.clip(
+            jnp.round(jnp.clip(yy + fy, 0.0, H - 1.0)).astype(jnp.int32) - yi,
+            -1, 1,
+        )
+        dx1 = jnp.clip(
+            jnp.round(jnp.clip(xx + fx, 0.0, W - 1.0)).astype(jnp.int32) - xi,
+            -1, 1,
+        )
+        sy = yi + dy1
+        sx = xi + dx1
+        dcode = (dy1 + 1) * 3 + (dx1 + 1)
+        key = yi * W + xi
+
+        def shift_i(T, dy, dx):
+            p = jnp.pad(T, 1, constant_values=0)
+            return p[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+
+        def body(_, key):
+            new = key
+            k = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        k += 1
+                        continue
+                    new = jnp.where(dcode == k, shift_i(key, dy, dx), new)
+                    k += 1
+            return new
+
+        key = jax.lax.fori_loop(0, n_prop, body, key)
+        succ = (sy * W + sx).reshape(-1)
         start = (
             jnp.clip(jnp.round(py), 0, H - 1) * W
             + jnp.clip(jnp.round(px), 0, W - 1)
-        ).astype(jnp.int32)
-        final = succ[start]
+        ).astype(jnp.int32).reshape(-1)
+        final = key.reshape(-1)[start]
         # The rounded successor map converges to short cycles around each
         # sink (typically 2-cycles straddling the center); pixels land on
         # either cycle element by path parity, which would split a small
         # object's sink histogram across bins and can starve the h>10 seed
         # rule. Collapse each cycle to its minimum bin so all basin pixels
         # agree on ONE sink bin.
-        final = jnp.minimum(final, jnp.minimum(succ1[final], succ1[succ1[final]]))
-        py = (final // W).astype(jnp.float32)
-        px = (final % W).astype(jnp.float32)
+        final = jnp.minimum(final, jnp.minimum(succ[final], succ[succ[final]]))
+        py = (final // W).astype(jnp.float32).reshape(H, W)
+        px = (final % W).astype(jnp.float32).reshape(H, W)
 
-    py = jnp.where(fg.reshape(-1), py, yy)
-    px = jnp.where(fg.reshape(-1), px, xx)
-    return jnp.stack([py.reshape(H, W), px.reshape(H, W)])
+    py = jnp.where(fg, py, yy)
+    px = jnp.where(fg, px, xx)
+    return jnp.stack([py, px])
 
 
 def _shift2(arr: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
@@ -330,13 +425,16 @@ def fill_label_holes(labels: jnp.ndarray) -> jnp.ndarray:
     ``vis`` = bg pixels straight-line visible from the border through bg
     (4 cumsums). A straight bg line from the border is itself a 4-connected
     bg path, so vis pixels can never be hole pixels — exactly the sea's
-    convex-ish bulk. CC then runs only on ``rest = bg & ~vis`` (holes +
-    concave pockets, all small), where the cheap local sweep converges and
-    the while_loop exits after ~1 round. Rest fragments of border-touching
-    components are 4-adjacent to a vis pixel (the first step off the
-    fragment inside bg lands on vis), so folding vis-adjacency into the
-    border channel keeps exterior pockets unfilled — bit-identical output
-    (equivalence swept in tests + adversarial C/U/nested-annulus shapes).
+    convex-ish bulk. Only ``rest = bg & ~vis`` (holes + concave pockets,
+    all small) needs component reasoning, and the decision values
+    themselves — the component-wide (min, max) adjacent label — propagate
+    by pure 4-neighbor stencil min/max until stable, so no component ids,
+    scatters, or gathers are needed at all. Rest fragments of
+    border-touching components are 4-adjacent to a vis pixel (the first
+    step off the fragment inside bg lands on vis), so folding vis-adjacency
+    into the border channel keeps exterior pockets unfilled —
+    bit-identical output (equivalence swept in randomized tests +
+    adversarial C/U/nested-annulus/snake shapes).
     """
     H, W = labels.shape
     bg = labels == 0
@@ -348,15 +446,10 @@ def fill_label_holes(labels: jnp.ndarray) -> jnp.ndarray:
         | (jnp.cumsum(blocked[:, ::-1], axis=1)[:, ::-1] == 0)
     ) & bg
     rest = bg & ~vis
-    comp = connected_components_hybrid(rest, connectivity=1)  # ids in [0, HW]
-    cf = comp.reshape(-1)
-    n_bins = H * W + 1
-    # Per-PIXEL neighbor min/max first (elementwise over the 4 shifts), then
-    # a single scatter-min + scatter-max per component — scatter OPS, not
-    # elements, dominate on TPU, and the per-direction version paid 9.
-    # Border/vis contact is folded into the max channel: such a pixel
-    # reports a BIG pseudo-neighbor, so its component fails lab_min ==
-    # lab_max (or fails lab_min < BIG when it has no labeled neighbor).
+    # Per-PIXEL neighbor min/max from label/vis/border adjacency. Border/vis
+    # contact is folded into the max channel: such a pixel reports a BIG
+    # pseudo-neighbor, so its component fails lab_min == lab_max (or fails
+    # lab_min < BIG when it has no labeled neighbor).
     pmin = jnp.full((H, W), _BIG_I32)
     pmax = jnp.zeros((H, W), jnp.int32)
     for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
@@ -368,18 +461,44 @@ def fill_label_holes(labels: jnp.ndarray) -> jnp.ndarray:
     border = border.at[0, :].set(True).at[-1, :].set(True)
     border = border.at[:, 0].set(True).at[:, -1].set(True)
     pmax = jnp.where(border, _BIG_I32, pmax)
-    rf = rest.reshape(-1)
-    tgt = jnp.where(rf, cf, 0)
-    lab_min = jnp.full(n_bins, _BIG_I32).at[tgt].min(
-        jnp.where(rf, pmin.reshape(-1), _BIG_I32)
+    # Component-wide (min, max): pure stencil min/max propagation over the
+    # rest mask until stable — no component ids, no scatters, no gathers
+    # (an earlier CC + scatter-reduce version paid ~145 ms/16 images in
+    # scatter/gather rounds; this runs in a few ms). Rest components are
+    # small (holes + concave pockets), so trips stay low; 8 rounds per trip
+    # amortize the convergence check.
+    pmin = jnp.where(rest, pmin, _BIG_I32)
+    pmax = jnp.where(rest, pmax, 0)
+
+    def _round(pmin, pmax):
+        nmin, nmax = pmin, pmax
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nrest = _shift2(rest, dy, dx, False)
+            nmin = jnp.minimum(
+                nmin, jnp.where(nrest, _shift2(pmin, dy, dx, _BIG_I32), _BIG_I32)
+            )
+            nmax = jnp.maximum(
+                nmax, jnp.where(nrest, _shift2(pmax, dy, dx, 0), 0)
+            )
+        return jnp.where(rest, nmin, _BIG_I32), jnp.where(rest, nmax, 0)
+
+    def cond(state):
+        i, _, _, changed = state
+        return changed & (i < H * W)
+
+    def body(state):
+        i, pmin, pmax, _ = state
+        nmin, nmax = _round(pmin, pmax)
+        for _ in range(7):
+            nmin, nmax = _round(nmin, nmax)
+        changed = jnp.any((nmin != pmin) | (nmax != pmax))
+        return i + 1, nmin, nmax, changed
+
+    _, pmin, pmax, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), pmin, pmax, jnp.bool_(True))
     )
-    lab_max = jnp.zeros(n_bins, jnp.int32).at[tgt].max(
-        jnp.where(rf, pmax.reshape(-1), 0)
-    )
-    fillable = (lab_min == lab_max) & (lab_min > 0) & (lab_min < _BIG_I32)
-    fill_val = jnp.where(fillable, lab_min, 0)
-    fv = fill_val[cf].reshape(H, W)
-    return jnp.where(rest & (fv > 0), fv, labels)
+    fillable = rest & (pmin == pmax) & (pmin > 0) & (pmax < _BIG_I32)
+    return jnp.where(fillable, pmin, labels)
 
 
 @functools.partial(
@@ -411,26 +530,34 @@ def masks_from_flows(
     final = follow_flows(flows, fg, n_iter=n_iter)
     labels = masks_from_sinks(final, fg, max_labels=max_labels)
     l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
+    lab_px = jnp.where(labels > 0, labels, 0).reshape(-1)
+    # QC error sums and label areas ride ONE 2-column scatter (areas are
+    # invariant under whole-label QC drops, so min-size reuses the same
+    # counts), and the drop masks apply through ONE table lookup — each
+    # avoided HW-element scatter/gather is ~10-15 ms on v5e.
     if flow_threshold is not None:
         mask_flows = masks_to_flows(labels)
         err_px = ((mask_flows - flows) ** 2).sum(axis=0)
-        lab_px = jnp.where(labels > 0, labels, 0).reshape(-1)
-        sums = jnp.zeros(max_labels + 1, jnp.float32).at[
+        cols = jnp.stack(
+            [
+                jnp.where(lab_px > 0, err_px.reshape(-1), 0.0),
+                (lab_px > 0).astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        acc = jnp.zeros((max_labels + 1, 2), jnp.float32).at[
             jnp.clip(lab_px, 0, max_labels)
-        ].add(jnp.where(lab_px > 0, err_px.reshape(-1), 0.0))
+        ].add(cols)
+        sums, cnts = acc[1:, 0], acc[1:, 1]
+        err = sums / jnp.maximum(cnts, 1.0)
+        # min-size on UNFILLED areas (upstream checks npix before filling)
+        drop = (err > flow_threshold) | (cnts < min_size)
+    else:
         cnts = jnp.zeros(max_labels + 1, jnp.float32).at[
             jnp.clip(lab_px, 0, max_labels)
-        ].add((lab_px > 0).astype(jnp.float32))
-        err = sums[1:] / jnp.maximum(cnts[1:], 1.0)
-        bad = err > flow_threshold
-        labels = jnp.where(bad[l_idx] & (labels > 0), 0, labels)
-    # min-size on UNFILLED areas (upstream checks npix before filling),
-    # then hole filling of the survivors
-    areas = jnp.zeros(max_labels + 1, jnp.float32).at[
-        jnp.where(labels > 0, labels, 0).reshape(-1)
-    ].add((labels > 0).reshape(-1).astype(jnp.float32))
-    small = areas[1:] < min_size
-    labels = jnp.where(small[l_idx] & (labels > 0), 0, labels)
+        ].add((lab_px > 0).astype(jnp.float32))[1:]
+        drop = cnts < min_size
+    labels = jnp.where(drop[l_idx] & (labels > 0), 0, labels)
     if fill_holes:
         labels = fill_label_holes(labels)
     return relabel_dense(labels, max_labels + 1, max_labels)
