@@ -36,9 +36,11 @@ from aliby_tpu.extract.reductions import (
     quantile_from_sorted,
     seg_max,
     seg_min,
+    seg_minmax_cols,
     seg_sum,
     seg_sum_cols,
     sorted_by_label,
+    table_lookup,
     topk_mean_from_sorted,
     topk_median_from_sorted,
 )
@@ -128,10 +130,11 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
     area = st.area
     mu20, mu02, mu11 = st.central_moments()
     major, minor, ecc, orientation = ellipse_params(mu20, mu02, mu11, area)
-    min_y = seg_min(st.yy, labels, max_labels)
-    max_y = seg_max(st.yy, labels, max_labels)
-    min_x = seg_min(st.xx, labels, max_labels)
-    max_x = seg_max(st.xx, labels, max_labels)
+    bb_mn, bb_mx = seg_minmax_cols(
+        jnp.stack([st.yy, st.xx], axis=-1), labels, max_labels
+    )
+    min_y, min_x = bb_mn[:, 0], bb_mn[:, 1]
+    max_y, max_x = bb_mx[:, 0], bb_mx[:, 1]
     bbox_area = (max_y - min_y + 1) * (max_x - min_x + 1)
     perimeter = _perimeter(labels, max_labels)
     pmax, pmin = directional_extents(labels, max_labels, n_dir=360)
@@ -148,31 +151,12 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
     dist = jnp.where(labels > 0, edt_to_other_label(labels), 0.0)
     max_radius = seg_max(dist, labels, max_labels)
     mean_radius = seg_sum(dist, labels, max_labels) / st.safe_area
-    # MedianRadius: EDT values are sqrt(integer), so the exact np.quantile
-    # (linear interpolation between the two middle order statistics) comes
-    # from a per-label histogram over d^2 — no 64k lexsort. d is bounded by
-    # half the min image dimension, which bounds the bin count statically.
-    H_img, W_img = labels.shape
-    n_bins = (min(H_img, W_img) // 2 + 2) ** 2
-    d2i = jnp.clip(
-        jnp.round(dist * dist).astype(jnp.int32), 0, n_bins - 1
-    )
-    lbl_f = jnp.clip(labels, 0, max_labels).reshape(-1)
-    hist = jnp.zeros((max_labels + 1) * n_bins, jnp.float32).at[
-        jnp.where(labels.reshape(-1) > 0, lbl_f * n_bins + d2i.reshape(-1), 0)
-    ].add((labels.reshape(-1) > 0).astype(jnp.float32)).reshape(
-        max_labels + 1, n_bins
-    )[1:]
-    cum = jnp.cumsum(hist, axis=1)
-    n_px = cum[:, -1]
-    p = 0.5 * (n_px - 1.0)
-    k = jnp.floor(jnp.maximum(p, 0.0))
-    g = p - k
-    k1 = jnp.minimum(k + 1.0, jnp.maximum(n_px - 1.0, 0.0))
-    bin_k = jnp.argmax(cum >= (k[:, None] + 1.0), axis=1)
-    bin_k1 = jnp.argmax(cum >= (k1[:, None] + 1.0), axis=1)
-    median_radius = (1.0 - g) * jnp.sqrt(bin_k.astype(jnp.float32)) + (
-        g * jnp.sqrt(bin_k1.astype(jnp.float32))
+    # MedianRadius: exact np.quantile (linear interpolation) straight from
+    # the per-label value sort — the earlier (L+1) x 17k-bin histogram
+    # scatter cost ~21 ms real vs ~2 ms for the lexsort
+    sv_d, starts_d, cnt_d = sorted_by_label(dist, labels, max_labels)
+    median_radius = jnp.nan_to_num(
+        quantile_from_sorted(sv_d, starts_d, cnt_d, 0.5)
     )
     euler = _euler_number(labels, max_labels)
     form_factor = 4 * jnp.pi * area / jnp.maximum(perimeter**2, 1e-12)
@@ -225,11 +209,8 @@ def sizeshape(labels: jnp.ndarray, max_labels: int) -> dict:
     # cancels catastrophically in float32 for objects far from the origin,
     # and O(1)-magnitude accumulands keep third-order sums conditioned.
     # With s = sqrt(area): mu_ij = acc_ij * s^(i+j), eta_ij = acc_ij / s^2.
-    dyc, dxc = st.centered_coords()
     s_lbl = jnp.sqrt(st.safe_area)
-    s_px = s_lbl[jnp.clip(labels - 1, 0, max_labels - 1)]
-    dyn = dyc / s_px
-    dxn = dxc / s_px
+    dyn, dxn = st.centered_scaled_coords()
     ypow_c = jnp.stack([dyn**i for i in range(4)])
     xpow_c = jnp.stack([dxn**j for j in range(4)])
     prod_c = (ypow_c[:, None] * xpow_c[None, :]).reshape(16, -1).T
@@ -301,29 +282,41 @@ def intensity(
     img = img.astype(jnp.float32)
     st = LabelStats(labels, max_labels)
     present = st.present
-    acc_i = seg_sum_cols(jnp.stack([img, img**2], axis=-1), labels, max_labels)
+    # one 4-column kernel pass: total, sq, y-weighted, x-weighted
+    acc_i = seg_sum_cols(
+        jnp.stack([img, img**2, st.yy * img, st.xx * img], axis=-1),
+        labels,
+        max_labels,
+    )
     total = acc_i[:, 0]
     mean = total / st.safe_area
     sq = acc_i[:, 1]
     var = jnp.maximum(sq / st.safe_area - mean**2, 0.0)
     std = jnp.sqrt(var)
-    vmin = seg_min(img, labels, max_labels)
-    vmax = seg_max(img, labels, max_labels)
+    mm = seg_minmax_cols(img[..., None], labels, max_labels)
+    vmin, vmax = mm[0][:, 0], mm[1][:, 0]
     sv, starts, cnt = sorted_by_label(img, labels, max_labels)
     median = quantile_from_sorted(sv, starts, cnt, 0.5)
     q1 = quantile_from_sorted(sv, starts, cnt, 0.25)
     q3 = quantile_from_sorted(sv, starts, cnt, 0.75)
-    # MAD: median of |v - median(label)| — second lexsort on the residuals
-    med_px = jnp.where(
-        labels > 0, jnp.nan_to_num(median)[jnp.clip(labels - 1, 0, max_labels - 1)], 0.0
+    # MAD: median of |v - median(label)| — second lexsort on the residuals.
+    # The per-pixel median and vmax broadcasts share one 2-column lookup.
+    l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
+    lk = table_lookup(
+        jnp.stack(
+            [jnp.nan_to_num(median), jnp.nan_to_num(vmax, neginf=0.0)],
+            axis=-1,
+        ),
+        l_idx,
     )
+    med_px = jnp.where(labels > 0, lk[..., 0], 0.0)
     resid = jnp.abs(img - med_px)
     sv2, starts2, cnt2 = sorted_by_label(resid, labels, max_labels)
     mad = quantile_from_sorted(sv2, starts2, cnt2, 0.5)
     # intensity-weighted centroid + mass displacement
     safe_total = jnp.maximum(total, 1e-12)
-    wcy = seg_sum(st.yy * img, labels, max_labels) / safe_total
-    wcx = seg_sum(st.xx * img, labels, max_labels) / safe_total
+    wcy = acc_i[:, 2] / safe_total
+    wcx = acc_i[:, 3] / safe_total
     mass_disp = jnp.sqrt((wcy - st.cy) ** 2 + (wcx - st.cx) ** 2)
     # location of the max-intensity pixel: exact two-pass argmax (the value
     # scatter-max is exact in float32; among tied maxima take the FIRST
@@ -333,9 +326,7 @@ def intensity(
     flat_v = img.reshape(-1)
     H, W = labels.shape
     pos = jnp.arange(flat_v.size, dtype=jnp.float32)
-    vmax_px = jnp.nan_to_num(vmax, neginf=0.0)[
-        jnp.clip(flat_l - 1, 0, max_labels - 1)
-    ]
+    vmax_px = lk[..., 1].reshape(-1)
     is_best = (flat_v == vmax_px) & (flat_l > 0)
     best_px = jnp.full(max_labels + 1, jnp.inf, jnp.float32)
     best_px = best_px.at[jnp.where(is_best, flat_l, 0)].min(
@@ -394,13 +385,24 @@ def intensity(
 def _per_label_pearson(labels, im1, im2, max_labels, weights=None):
     w = jnp.ones_like(im1) if weights is None else weights
     inside = (labels > 0).astype(jnp.float32) * w
-    n = seg_sum(inside, labels, max_labels)
+    # all six correlation sums in ONE kernel pass
+    acc = seg_sum_cols(
+        jnp.stack(
+            [
+                inside,
+                im1 * inside,
+                im2 * inside,
+                im1 * im1 * inside,
+                im2 * im2 * inside,
+                im1 * im2 * inside,
+            ],
+            axis=-1,
+        ),
+        labels,
+        max_labels,
+    )
+    n, s1, s2, s11, s22, s12 = (acc[:, i] for i in range(6))
     safe_n = jnp.maximum(n, 1.0)
-    s1 = seg_sum(im1 * inside, labels, max_labels)
-    s2 = seg_sum(im2 * inside, labels, max_labels)
-    s11 = seg_sum(im1 * im1 * inside, labels, max_labels)
-    s22 = seg_sum(im2 * im2 * inside, labels, max_labels)
-    s12 = seg_sum(im1 * im2 * inside, labels, max_labels)
     cov = s12 / safe_n - (s1 / safe_n) * (s2 / safe_n)
     v1 = jnp.maximum(s11 / safe_n - (s1 / safe_n) ** 2, 0.0)
     v2 = jnp.maximum(s22 / safe_n - (s2 / safe_n) ** 2, 0.0)
@@ -428,19 +430,34 @@ def manders_fold(labels, im1, im2, max_labels, thr_frac: float = 0.15) -> dict:
     im1 = im1.astype(jnp.float32)
     im2 = im2.astype(jnp.float32)
     present = counts(labels, max_labels) > 0
-    m1max = seg_max(jnp.where(labels > 0, im1, -jnp.inf), labels, max_labels)
-    m2max = seg_max(jnp.where(labels > 0, im2, -jnp.inf), labels, max_labels)
-    t1 = jnp.nan_to_num(m1max) * thr_frac
-    t2 = jnp.nan_to_num(m2max) * thr_frac
-    t1_px = t1[jnp.clip(labels - 1, 0, max_labels - 1)]
-    t2_px = t2[jnp.clip(labels - 1, 0, max_labels - 1)]
+    _, seg_mx = seg_minmax_cols(
+        jnp.stack([im1, im2], axis=-1), labels, max_labels
+    )
+    t1 = jnp.nan_to_num(seg_mx[:, 0]) * thr_frac
+    t2 = jnp.nan_to_num(seg_mx[:, 1]) * thr_frac
+    lk = table_lookup(
+        jnp.stack([t1, t2], axis=-1),
+        jnp.clip(labels - 1, 0, max_labels - 1),
+    )
+    t1_px, t2_px = lk[..., 0], lk[..., 1]
     fg = labels > 0
     above2 = fg & (im2 > t2_px)
     above1 = fg & (im1 > t1_px)
-    sum1 = seg_sum(jnp.where(fg, im1, 0), labels, max_labels)
-    sum2 = seg_sum(jnp.where(fg, im2, 0), labels, max_labels)
-    m1 = seg_sum(jnp.where(above2, im1, 0), labels, max_labels) / jnp.maximum(sum1, 1e-12)
-    m2 = seg_sum(jnp.where(above1, im2, 0), labels, max_labels) / jnp.maximum(sum2, 1e-12)
+    sums = seg_sum_cols(
+        jnp.stack(
+            [
+                jnp.where(fg, im1, 0.0),
+                jnp.where(fg, im2, 0.0),
+                jnp.where(above2, im1, 0.0),
+                jnp.where(above1, im2, 0.0),
+            ],
+            axis=-1,
+        ),
+        labels,
+        max_labels,
+    )
+    m1 = sums[:, 2] / jnp.maximum(sums[:, 0], 1e-12)
+    m2 = sums[:, 3] / jnp.maximum(sums[:, 1], 1e-12)
     return {
         "manders_fold": _nanpad(m1, present),
         "manders_fold_2": _nanpad(m2, present),
@@ -470,23 +487,49 @@ def rwc(labels, im1, im2, max_labels, thr_frac: float = 0.15) -> dict:
         rank_px = jnp.zeros(flat_v.size, jnp.float32).at[sid].set(positions)
         n_bg = flat_v.size - cnt.sum()
         starts = n_bg + jnp.concatenate([jnp.zeros(1), jnp.cumsum(cnt)[:-1]])
-        start_px = starts[jnp.clip(flat_l - 1, 0, max_labels - 1)]
+        start_px = table_lookup(
+            starts[:, None], jnp.clip(flat_l - 1, 0, max_labels - 1)
+        )[..., 0]
         return (rank_px - start_px).reshape(labels.shape)
 
     r1 = ranks_of(im1)
     r2 = ranks_of(im2)
-    rmax = jnp.maximum(cnt - 1.0, 1.0)[jnp.clip(labels - 1, 0, max_labels - 1)]
+    _, seg_mx = seg_minmax_cols(
+        jnp.stack([im1, im2], axis=-1), labels, max_labels
+    )
+    m1max = jnp.nan_to_num(seg_mx[:, 0])
+    m2max = jnp.nan_to_num(seg_mx[:, 1])
+    l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
+    lk = table_lookup(
+        jnp.stack(
+            [
+                jnp.maximum(cnt - 1.0, 1.0),
+                m1max * thr_frac,
+                m2max * thr_frac,
+            ],
+            axis=-1,
+        ),
+        l_idx,
+    )
+    rmax, t1_px, t2_px = lk[..., 0], lk[..., 1], lk[..., 2]
     weight = (rmax - jnp.abs(r1 - r2)) / rmax
-    m1max = jnp.nan_to_num(seg_max(jnp.where(labels > 0, im1, -jnp.inf), labels, max_labels))
-    m2max = jnp.nan_to_num(seg_max(jnp.where(labels > 0, im2, -jnp.inf), labels, max_labels))
-    t1_px = (m1max * thr_frac)[jnp.clip(labels - 1, 0, max_labels - 1)]
-    t2_px = (m2max * thr_frac)[jnp.clip(labels - 1, 0, max_labels - 1)]
     fg = labels > 0
     coloc = fg & (im1 > t1_px) & (im2 > t2_px)
-    sum1 = seg_sum(jnp.where(fg, im1, 0), labels, max_labels)
-    sum2 = seg_sum(jnp.where(fg, im2, 0), labels, max_labels)
-    rwc1 = seg_sum(jnp.where(coloc, im1 * weight, 0), labels, max_labels) / jnp.maximum(sum1, 1e-12)
-    rwc2 = seg_sum(jnp.where(coloc, im2 * weight, 0), labels, max_labels) / jnp.maximum(sum2, 1e-12)
+    sums = seg_sum_cols(
+        jnp.stack(
+            [
+                jnp.where(fg, im1, 0.0),
+                jnp.where(fg, im2, 0.0),
+                jnp.where(coloc, im1 * weight, 0.0),
+                jnp.where(coloc, im2 * weight, 0.0),
+            ],
+            axis=-1,
+        ),
+        labels,
+        max_labels,
+    )
+    rwc1 = sums[:, 2] / jnp.maximum(sums[:, 0], 1e-12)
+    rwc2 = sums[:, 3] / jnp.maximum(sums[:, 1], 1e-12)
     return {"rwc": _nanpad(rwc1, present), "rwc_2": _nanpad(rwc2, present)}
 
 
@@ -546,18 +589,16 @@ def costes(labels, im1, im2, max_labels, scale_max: int = 255) -> dict:
     reg_ok = (n_r >= 2) & (jnp.abs(cov) > 1e-20) & (a > 0)
     # exact-grid joint histogram
     m1max = jnp.nan_to_num(
-        seg_max(jnp.where(fg, im1, -jnp.inf), labels, max_labels)
+        seg_minmax_cols(im1[..., None], labels, max_labels)[1][:, 0]
     )
     i_step = jnp.maximum(m1max, 1e-20) / scale_max
     B = scale_max + 2
-    bin1 = jnp.clip(
-        jnp.floor(im1 / i_step[l_idx]).astype(jnp.int32), 0, B - 1
-    )
     safe_a = jnp.where(reg_ok, a, 1.0)
+    lk_g = table_lookup(jnp.stack([i_step, b, safe_a], axis=-1), l_idx)
+    step_px, b_px, a_px = lk_g[..., 0], lk_g[..., 1], lk_g[..., 2]
+    bin1 = jnp.clip(jnp.floor(im1 / step_px).astype(jnp.int32), 0, B - 1)
     bin2 = jnp.clip(
-        jnp.floor(
-            (im2 - b[l_idx]) / (safe_a[l_idx] * i_step[l_idx])
-        ).astype(jnp.int32),
+        jnp.floor((im2 - b_px) / (a_px * step_px)).astype(jnp.int32),
         0,
         B - 1,
     )
@@ -601,13 +642,25 @@ def costes(labels, im1, im2, max_labels, scale_max: int = 255) -> dict:
     k_star = jnp.maximum(jnp.max(jnp.where(ok, ks, 0), axis=1), 1)
     t1 = k_star.astype(jnp.float32) * i_step
     t2 = a * t1 + b
-    t1_px = t1[l_idx]
-    t2_px = t2[l_idx]
+    lk_t = table_lookup(jnp.stack([t1, t2], axis=-1), l_idx)
+    t1_px, t2_px = lk_t[..., 0], lk_t[..., 1]
     both = fg & (im1 > t1_px) & (im2 > t2_px)
-    den1 = seg_sum(jnp.where(fg & (im1 > t1_px), im1, 0), labels, max_labels)
-    den2 = seg_sum(jnp.where(fg & (im2 > t2_px), im2, 0), labels, max_labels)
-    c1 = seg_sum(jnp.where(both, im1, 0), labels, max_labels) / jnp.maximum(den1, 1e-20)
-    c2 = seg_sum(jnp.where(both, im2, 0), labels, max_labels) / jnp.maximum(den2, 1e-20)
+    sums4 = seg_sum_cols(
+        jnp.stack(
+            [
+                jnp.where(fg & (im1 > t1_px), im1, 0.0),
+                jnp.where(fg & (im2 > t2_px), im2, 0.0),
+                jnp.where(both, im1, 0.0),
+                jnp.where(both, im2, 0.0),
+            ],
+            axis=-1,
+        ),
+        labels,
+        max_labels,
+    )
+    den1, den2 = sums4[:, 0], sums4[:, 1]
+    c1 = sums4[:, 2] / jnp.maximum(den1, 1e-20)
+    c2 = sums4[:, 3] / jnp.maximum(den2, 1e-20)
     good = present & reg_ok & (den1 > 0) & (den2 > 0)
     return {"costes": _nanpad(c1, good), "costes_2": _nanpad(c2, good)}
 

@@ -26,43 +26,278 @@ import jax
 import jax.numpy as jnp
 
 
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _bcast(x, axis_size, batched):
+    return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_sum_cols_vmapped(max_labels: int):
+    """seg_sum_cols with a custom vmap rule.
+
+    Unbatched (and the whole CPU test suite): the multi-column scatter-add.
+    Batched on TPU: the Pallas one-hot-MXU kernel
+    (``ops.pallas_segsum.binned_sum_cols_batched``) — a single vmapped
+    scatter op costs ~9 ms of real device time on v5e at (16, 65k) -> 257
+    bins (the TPU scatter unit serializes), while the kernel streams the
+    one-hot through VMEM and rides the MXU in ~0.4 ms. The full feature
+    bank issues dozens of these per step, so the batching rule is where
+    the bank's throughput lives.
+    """
+
+    def _scatter(values, labels):
+        flat_l = labels.reshape(-1)
+        vals = values.reshape(flat_l.shape[0], -1).astype(jnp.float32)
+        out = jnp.zeros((max_labels + 1, vals.shape[1]), jnp.float32)
+        return out.at[flat_l].add(vals)[1:]
+
+    @jax.custom_batching.custom_vmap
+    def f(values, labels):
+        return _scatter(values, labels)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, values, labels):
+        values = _bcast(values, axis_size, in_batched[0])
+        labels = _bcast(labels, axis_size, in_batched[1])
+        if _on_tpu():
+            B = labels.shape[0]
+            n = 1
+            for d in labels.shape[1:]:
+                n *= d
+            out = _binned_sum_kernel_call(
+                values.reshape(B, n, -1), labels.reshape(B, n), max_labels + 1
+            )[:, 1:]
+        else:
+            out = jax.vmap(_scatter)(values, labels)
+        return out, True
+
+    return f
+
+
+def _binned_sum_kernel_call(vals, bins, n_bins):
+    """(B, N, K) x (B, N) -> (B, n_bins, K) via the Pallas one-hot kernel,
+    with scatter-equivalent non-finite semantics: the matmul formulation
+    would spread any inf/NaN value into EVERY bin (0 x inf = NaN), so
+    non-finite values ride a sanitized column plus an indicator column
+    that re-poisons only their own bin."""
+    from aliby_tpu.ops.pallas_segsum import binned_sum_cols_batched
+
+    finite = jnp.isfinite(vals)
+    clean = jnp.where(finite, vals, 0.0)
+    flag = jnp.any(~finite, axis=-1, keepdims=True).astype(jnp.float32)
+    out = binned_sum_cols_batched(
+        jnp.concatenate([clean, flag], axis=-1), bins, n_bins
+    )
+    return jnp.where(out[..., -1:] > 0, jnp.nan, out[..., :-1])
+
+
+def binned_sum_cols(values, bins, n_bins):
+    """Generic per-bin sums: (..., K) values, (...) int bins -> (n_bins, K).
+
+    Like :func:`seg_sum_cols` but over an arbitrary bin space (bin 0 kept).
+    Under vmap on TPU this rides the Pallas one-hot-MXU kernel.
+    """
+    return _binned_sum_cols_generic(int(n_bins))(values, bins)
+
+
+@functools.lru_cache(maxsize=None)
+def _binned_sum_cols_generic(n_bins: int):
+    def _scatter(values, bins):
+        flat_b = bins.reshape(-1)
+        vals = values.reshape(flat_b.shape[0], -1).astype(jnp.float32)
+        out = jnp.zeros((n_bins, vals.shape[1]), jnp.float32)
+        return out.at[flat_b].add(vals)
+
+    @jax.custom_batching.custom_vmap
+    def f(values, bins):
+        return _scatter(values, bins)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, values, bins):
+        values = _bcast(values, axis_size, in_batched[0])
+        bins = _bcast(bins, axis_size, in_batched[1])
+        # wide bin spaces don't fit the kernel's VMEM one-hot; scatters
+        # into them are also proportionally less collision-bound
+        if _on_tpu() and n_bins <= _KERNEL_MAX_BINS:
+            B = bins.shape[0]
+            n = 1
+            for d in bins.shape[1:]:
+                n *= d
+            out = _binned_sum_kernel_call(
+                values.reshape(B, n, -1), bins.reshape(B, n), n_bins
+            )
+        else:
+            out = jax.vmap(_scatter)(values, bins)
+        return out, True
+
+    return f
+
+
+_KERNEL_MAX_BINS = 2176  # one-hot (512, 2176+) f32 stays within VMEM
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_minmax_vmapped(max_labels: int, want_min: bool):
+    """seg_min / seg_max with a Pallas masked-reduction batching rule."""
+
+    def _scatter(values, labels):
+        flat_l = labels.reshape(-1)
+        v = values.reshape(-1).astype(jnp.float32)
+        if want_min:
+            out = jnp.full(max_labels + 1, jnp.inf, jnp.float32)
+            return out.at[flat_l].min(v)[1:]
+        out = jnp.full(max_labels + 1, -jnp.inf, jnp.float32)
+        return out.at[flat_l].max(v)[1:]
+
+    @jax.custom_batching.custom_vmap
+    def f(values, labels):
+        return _scatter(values, labels)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, values, labels):
+        values = _bcast(values, axis_size, in_batched[0])
+        labels = _bcast(labels, axis_size, in_batched[1])
+        if _on_tpu():
+            from aliby_tpu.ops.pallas_segsum import binned_minmax_batched
+
+            B = labels.shape[0]
+            n = 1
+            for d in labels.shape[1:]:
+                n *= d
+            mn, mx = binned_minmax_batched(
+                values.reshape(B, n, 1), labels.reshape(B, n), max_labels + 1
+            )
+            out = (mn if want_min else mx)[:, 1:, 0]
+        else:
+            out = jax.vmap(_scatter)(values, labels)
+        return out, True
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _table_lookup_vmapped(n_cols: int):
+    """table[idx] per pixel, batched via the Pallas one-hot lookup kernel.
+
+    A single vmapped gather costs ~7-12 ms real on v5e at (16, 65k)
+    indices; the kernel runs it in ~3 ms and several columns share one
+    pass. CPU / unbatched: plain indexing."""
+
+    def _gather(table, idx):
+        return table[jnp.clip(idx, 0, table.shape[0] - 1)]
+
+    @jax.custom_batching.custom_vmap
+    def f(table, idx):
+        return _gather(table, idx)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, table, idx):
+        table = _bcast(table, axis_size, in_batched[0])
+        idx = _bcast(idx, axis_size, in_batched[1])
+        if _on_tpu():
+            from aliby_tpu.ops.pallas_segsum import table_lookup_batched
+
+            out = table_lookup_batched(
+                table, jnp.clip(idx, 0, table.shape[1] - 1)
+            )
+        else:
+            out = jax.vmap(_gather)(table, idx)
+        return out, True
+
+    return f
+
+
+def table_lookup(table, idx):
+    """``table[idx]`` for a small (L, K) table and arbitrary-shape int idx.
+
+    Returns (idx.shape + (K,)); under vmap on TPU this rides the Pallas
+    one-hot lookup kernel. Indices are clipped to the table (callers
+    already clip by convention)."""
+    return _table_lookup_vmapped(int(table.shape[-1]))(table, idx)
+
+
 def seg_sum(values, labels, max_labels):
-    out = jnp.zeros(max_labels + 1, dtype=jnp.promote_types(values.dtype, jnp.float32))
-    return out.at[labels.reshape(-1)].add(values.reshape(-1))[1:]
+    return _seg_sum_cols_vmapped(int(max_labels))(
+        values.reshape(values.shape + (1,)) if values.ndim == labels.ndim else values,
+        labels,
+    )[..., 0]
 
 
 def seg_sum_cols(values, labels, max_labels):
-    """Per-label sums of K value columns in ONE multi-column scatter-add.
+    """Per-label sums of K value columns: (..., K) values, (...) labels -> (L, K).
 
-    ``values``: (..., K) pixel columns, ``labels``: (...) int -> (L, K).
-
-    Batching K per-column scatters into one wide scatter rides contiguous
-    lanes (e.g. zernike's 60 columns: 339 -> 69 ms per 8-FOV batch).
-
-    On the one-hot-matmul alternative: measured in ISOLATION on v5e
-    (8 x 256^2 x 64 cols, amortized in-jit) the XLA one-hot dot at
-    ``Precision.HIGH`` is 3.5x faster than this scatter (1.5 ms vs 5.2 ms;
-    the Pallas kernel sits between at 3.5 ms) with better-than-f32-scatter
-    accuracy — but inside the big fused whole-step program the (HW, L)
-    one-hot materialization (67 MB/FOV/site, x3 bf16 passes) competes with
-    conv workspace for HBM and REGRESSED the end-to-end bench (light tree
-    5.32 -> 3.38 fov/s). Scatter is the right production formulation here;
-    ``ops/pallas_segsum.py`` documents the same finding for the kernel.
+    Unbatched: one multi-column scatter-add. Under ``jax.vmap`` on TPU the
+    custom batching rule swaps in the Pallas one-hot-MXU kernel (see
+    ``_seg_sum_cols_vmapped``) — ~20x less real device time per op than
+    the batched scatter, which the TPU scatter unit serializes.
     """
-    flat_l = labels.reshape(-1)
-    vals = values.reshape(flat_l.shape[0], -1).astype(jnp.float32)
-    out = jnp.zeros((max_labels + 1, vals.shape[1]), jnp.float32)
-    return out.at[flat_l].add(vals)[1:]
+    return _seg_sum_cols_vmapped(int(max_labels))(values, labels)
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_minmax_cols_vmapped(max_labels: int):
+    """(min, max) of K value columns per label in one pass."""
+
+    def _scatter(values, labels):
+        flat_l = labels.reshape(-1)
+        vals = values.reshape(flat_l.shape[0], -1).astype(jnp.float32)
+        K = vals.shape[1]
+        mn = jnp.full((max_labels + 1, K), jnp.inf, jnp.float32).at[flat_l].min(vals)
+        mx = jnp.full((max_labels + 1, K), -jnp.inf, jnp.float32).at[flat_l].max(vals)
+        return mn[1:], mx[1:]
+
+    @jax.custom_batching.custom_vmap
+    def f(values, labels):
+        return _scatter(values, labels)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, values, labels):
+        values = _bcast(values, axis_size, in_batched[0])
+        labels = _bcast(labels, axis_size, in_batched[1])
+        if _on_tpu():
+            from aliby_tpu.ops.pallas_segsum import binned_minmax_batched
+
+            B = labels.shape[0]
+            n = 1
+            for d in labels.shape[1:]:
+                n *= d
+            mn, mx = binned_minmax_batched(
+                values.reshape(B, n, -1), labels.reshape(B, n), max_labels + 1
+            )
+            out = (mn[:, 1:], mx[:, 1:])
+        else:
+            out = jax.vmap(_scatter)(values, labels)
+        return out, (True, True)
+
+    return f
+
+
+def seg_minmax_cols(values, labels, max_labels):
+    """Per-label (min, max) of K value columns -> two (L, K) arrays.
+
+    One Pallas masked-reduction pass replaces 2K scatter-min/max ops."""
+    return _seg_minmax_cols_vmapped(int(max_labels))(values, labels)
 
 
 def seg_min(values, labels, max_labels, init=jnp.inf):
-    out = jnp.full(max_labels + 1, init, dtype=jnp.float32)
-    return out.at[labels.reshape(-1)].min(values.reshape(-1).astype(jnp.float32))[1:]
+    if init != jnp.inf:  # rare custom-init callers keep the scatter path
+        out = jnp.full(max_labels + 1, init, dtype=jnp.float32)
+        return out.at[labels.reshape(-1)].min(
+            values.reshape(-1).astype(jnp.float32)
+        )[1:]
+    return _seg_minmax_vmapped(int(max_labels), True)(values, labels)
 
 
 def seg_max(values, labels, max_labels, init=-jnp.inf):
-    out = jnp.full(max_labels + 1, init, dtype=jnp.float32)
-    return out.at[labels.reshape(-1)].max(values.reshape(-1).astype(jnp.float32))[1:]
+    if init != -jnp.inf:
+        out = jnp.full(max_labels + 1, init, dtype=jnp.float32)
+        return out.at[labels.reshape(-1)].max(
+            values.reshape(-1).astype(jnp.float32)
+        )[1:]
+    return _seg_minmax_vmapped(int(max_labels), False)(values, labels)
 
 
 def counts(labels, max_labels):
@@ -101,9 +336,20 @@ class LabelStats:
         """
         l_idx = jnp.clip(self.labels - 1, 0, self.max_labels - 1)
         fg = self.labels > 0
-        dy = jnp.where(fg, self.yy - self.cy[l_idx], 0.0)
-        dx = jnp.where(fg, self.xx - self.cx[l_idx], 0.0)
+        c = table_lookup(jnp.stack([self.cy, self.cx], axis=-1), l_idx)
+        dy = jnp.where(fg, self.yy - c[..., 0], 0.0)
+        dx = jnp.where(fg, self.xx - c[..., 1], 0.0)
         return dy, dx
+
+    def centered_scaled_coords(self):
+        """Centered coords divided by sqrt(area) — one 3-column lookup."""
+        l_idx = jnp.clip(self.labels - 1, 0, self.max_labels - 1)
+        fg = self.labels > 0
+        s = jnp.sqrt(self.safe_area)
+        c = table_lookup(jnp.stack([self.cy, self.cx, s], axis=-1), l_idx)
+        dyn = jnp.where(fg, (self.yy - c[..., 0]) / c[..., 2], 0.0)
+        dxn = jnp.where(fg, (self.xx - c[..., 1]) / c[..., 2], 0.0)
+        return dyn, dxn
 
     def central_moments(self):
         """Second central moments (mu20, mu02, mu11) per label."""

@@ -30,11 +30,12 @@ import jax.numpy as jnp
 
 from aliby_tpu.extract.reductions import (
     LabelStats,
+    binned_sum_cols,
     counts,
-    seg_max,
-    seg_min,
+    seg_minmax_cols,
     seg_sum,
     seg_sum_cols,
+    table_lookup,
 )
 
 # ---------------------------------------------------------------------------
@@ -153,8 +154,9 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
       -sum_cells (s/T) log(s/T) = [-2 sum_el log s_el] / T + log T;
     - the three marginal entropies (hx over endpoints — the symmetric GLCM
       has px == py so hxy1 == hxy2 == 2*hx — sum entropy over q0+q1, diff
-      entropy over |q0-q1|) are one more sort of value-tagged keys:
-      -sum_v m log m = -sum_el log(run_len), normalized per projection.
+      entropy over |q0-q1|) reuse the joint cells: dense scatter-adds of
+      each cell's count into (angle, label, value) tables, then
+      -sum m log m.
     Per-(angle,label) totals are one scatter-add into (angle, label) bins
     (group id = the sorted key's high bits). An earlier segmented-cumsum +
     boundary-read formulation computed the same sums gather-free, but its
@@ -165,16 +167,17 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
     img = img.astype(jnp.float32)
     present = counts(labels, max_labels) > 0
     G = _NG
-    # per-object min-max quantization to G levels
+    # per-object min-max quantization to G levels: one (min,max) kernel
+    # pass + one 2-column table lookup (vs 2 scatters + 2 gathers)
     fg = labels > 0
-    vmin = seg_min(jnp.where(fg, img, jnp.inf), labels, max_labels)
-    vmax = seg_max(jnp.where(fg, img, -jnp.inf), labels, max_labels)
-    vmin = jnp.nan_to_num(vmin, posinf=0.0)
-    vmax = jnp.nan_to_num(vmax, neginf=0.0)
+    mn, mx = seg_minmax_cols(img[..., None], labels, max_labels)
+    vmin = jnp.nan_to_num(mn[:, 0], posinf=0.0)
+    vmax = jnp.nan_to_num(mx[:, 0], neginf=0.0)
     span = jnp.maximum(vmax - vmin, 1e-12)
     l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
+    lk = table_lookup(jnp.stack([vmin, span], axis=-1), l_idx)
     q = jnp.clip(
-        ((img - vmin[l_idx]) / span[l_idx] * G).astype(jnp.int32), 0, G - 1
+        ((img - lk[..., 0]) / lk[..., 1] * G).astype(jnp.int32), 0, G - 1
     )
     H, W = labels.shape
     out = {}
@@ -227,7 +230,7 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
         ],
         axis=-1,
     )
-    acc = jnp.zeros((LA, 8), jnp.float32).at[al].add(cols)
+    acc = binned_sum_cols(cols, al, LA)
     acc = acc.reshape(A, L1, 8)[:, 1:]  # (A, L, 8)
     n_pairs = acc[..., 0]
 
@@ -236,47 +239,52 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
     qmax = jnp.maximum(q0i, q1i)
     jkey = (al * G + qmin) * G + qmax
     sjk = jnp.sort(jkey)
-    rlen, _ = _run_lengths(sjk, jnp.int32(N + G * G * LA))
+    rlen, rs = _run_lengths(sjk, jnp.int32(N + G * G * LA))
     gid_j = sjk // (G * G)
     sqmin = (sjk // G) % G
     sqmax = sjk % G
     s_cell = jnp.where(sqmin == sqmax, 2 * rlen, rlen).astype(jnp.float32)
     jvals = jnp.stack([2.0 * s_cell, -2.0 * jnp.log(s_cell)], axis=-1)
-    jtot = (
-        jnp.zeros((LA, 2), jnp.float32)
-        .at[jnp.clip(gid_j, 0, LA - 1)]
-        .add(jvals)
-        .reshape(A, L1, 2)[:, 1:]
-    )
+    jtot = binned_sum_cols(jvals, jnp.clip(gid_j, 0, LA - 1), LA).reshape(
+        A, L1, 2
+    )[:, 1:]
     T = jnp.maximum(2.0 * n_pairs, 1e-12)
     logT = jnp.log(T)
     asm = jtot[..., 0] / T**2
     entropy = jtot[..., 1] / T + logT
 
-    # ---- projection sort: hx, sum entropy, diff entropy ------------------
-    V = 2 * G  # value span: endpoints/diffs < G, sums < 2G-1
-    base_e = (0 * LA + al) * V
-    base_s = (1 * LA + al) * V
-    base_d = (2 * LA + al) * V
-    pkey = jnp.concatenate(
-        [base_e + q0i, base_e + q1i, base_s + (q0i + q1i),
-         base_d + jnp.abs(q0i - q1i)]
+    # ---- marginal entropies from the joint cells --------------------------
+    # hx / sum entropy / diff entropy need only value-count multiplicities,
+    # and every (qmin, qmax) cell's count r is already on the joint sort's
+    # run starts — so the marginals are dense scatter-adds of r into
+    # (angle, label, value) tables (a cell feeds qmin and qmax for the
+    # endpoint marginal, qmin+qmax for sums, qmax-qmin for diffs), and each
+    # entropy is an elementwise -sum m log m. An earlier formulation sorted
+    # a second 4N-element value-tagged key array for these; that sort was
+    # ~half the family's device time.
+    r_at_start = jnp.where(rs, rlen.astype(jnp.float32), 0.0)
+    sal = gid_j  # (angle, label) group of each sorted element
+
+    def _marginal_entropy(idx_list, nbins):
+        idx = jnp.concatenate(
+            [jnp.clip(i, 0, LA * nbins - 1) for i in idx_list]
+        )
+        r = jnp.concatenate([r_at_start] * len(idx_list))[:, None]
+        m = binned_sum_cols(r, idx, LA * nbins)[:, 0].reshape(A, L1, nbins)[
+            :, 1:
+        ]
+        return -(m * _safe_log(m)).sum(-1)  # (A, L)
+
+    ment_ends = _marginal_entropy(
+        [sal * G + sqmin, sal * G + sqmax], G
     )
-    spk = jnp.sort(pkey)
-    M = pkey.shape[0]
-    prlen, _ = _run_lengths(spk, jnp.int32(M + 3 * LA * V))
-    gid_p = spk // V
-    ptot = (
-        jnp.zeros((3 * LA,), jnp.float32)
-        .at[jnp.clip(gid_p, 0, 3 * LA - 1)]
-        .add(-jnp.log(prlen.astype(jnp.float32)))
-        .reshape(3, A, L1)[:, :, 1:]
-    )
+    ment_sums = _marginal_entropy([sal * (2 * G - 1) + sqmin + sqmax], 2 * G - 1)
+    ment_diffs = _marginal_entropy([sal * G + (sqmax - sqmin)], G)
     inv_n = 1.0 / jnp.maximum(n_pairs, 1e-12)
     logn = jnp.log(jnp.maximum(n_pairs, 1e-12))
-    hx = ptot[0] / T + logT
-    sum_ent = ptot[1] * inv_n + logn
-    diff_ent = ptot[2] * inv_n + logn
+    hx = ment_ends / T + logT
+    sum_ent = ment_sums * inv_n + logn
+    diff_ent = ment_diffs * inv_n + logn
 
     # ---- assemble the 13 features ----------------------------------------
     contrast = acc[..., 1] * inv_n
@@ -411,11 +419,12 @@ def _zernike_core(labels, weight, max_labels):
     present = st.present
     l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
     mcy, mcx, mr = minimum_enclosing_circle(labels, max_labels)
-    dy = st.yy - mcy[l_idx]
-    dx = st.xx - mcx[l_idx]
-    r = jnp.sqrt(dy**2 + dx**2)
     rmax = jnp.maximum(jnp.where(jnp.isfinite(mr), mr, 1.0), 1.0)
-    rho = r / rmax[l_idx]
+    lk = table_lookup(jnp.stack([mcy, mcx, rmax], axis=-1), l_idx)
+    dy = st.yy - lk[..., 0]
+    dx = st.xx - lk[..., 1]
+    r = jnp.sqrt(dy**2 + dx**2)
+    rho = r / lk[..., 2]
     theta = jnp.arctan2(dy, dx)
     inside = (labels > 0) & (rho <= 1.0 + 1e-6)
     w = jnp.where(inside, weight, 0.0)
@@ -463,7 +472,10 @@ def radial_zernikes(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int) -> d
     img = img.astype(jnp.float32)
     # normalize intensity per object so magnitudes are scale-free
     tot = seg_sum(jnp.where(labels > 0, img, 0.0), labels, max_labels)
-    w = img / jnp.maximum(tot, 1e-12)[jnp.clip(labels - 1, 0, max_labels - 1)]
+    w = img / table_lookup(
+        jnp.maximum(tot, 1e-12)[:, None],
+        jnp.clip(labels - 1, 0, max_labels - 1),
+    )[..., 0]
     vals = _zernike_core(labels, w, max_labels)
     return {f"RadialZernike_{n}_{m}": v for (n, m), v in vals.items()}
 
@@ -496,22 +508,26 @@ def radial_distribution(
 
     H, W = labels.shape
     d_edge = jnp.where(labels > 0, edt_to_other_label(labels), 0.0)
-    # center = argmax of d_edge per label, ties -> first raster position
+    # center = argmax of d_edge per label, ties -> first raster position.
+    # The JFA EDT is sqrt of an integer, so the argmax rides ONE packed
+    # int32 scatter-min of ((CAP - d^2) << 16 | pos) — max d, tie -> min
+    # pos — instead of a scatter-max + gather + scatter-min chain.
     flat_l = jnp.clip(labels, 0, max_labels).reshape(-1)
     fgf = (labels > 0).reshape(-1)
-    de_f = d_edge.reshape(-1)
-    best = jnp.full(max_labels + 1, -jnp.inf).at[
-        jnp.where(fgf, flat_l, 0)
-    ].max(jnp.where(fgf, de_f, -jnp.inf))
-    at_best = fgf & (de_f == best[flat_l])
+    d2i = jnp.minimum(
+        jnp.round(d_edge * d_edge).astype(jnp.int32), (1 << 15) - 2
+    ).reshape(-1)
     pos = jnp.arange(H * W, dtype=jnp.int32)
-    first = jnp.full(max_labels + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
-        jnp.where(at_best, flat_l, 0)
-    ].min(jnp.where(at_best, pos, jnp.iinfo(jnp.int32).max))[1:]
+    key = ((((1 << 15) - 2) - d2i) << 16) | pos
+    best = jnp.full(max_labels + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
+        jnp.where(fgf, flat_l, 0)
+    ].min(jnp.where(fgf, key, jnp.iinfo(jnp.int32).max))[1:]
+    first = best & 0xFFFF
     ccy = jnp.floor(first.astype(jnp.float32) / W)
     ccx = first.astype(jnp.float32) - ccy * W
-    dy = st.yy - ccy[l_idx]
-    dx = st.xx - ccx[l_idx]
+    cc = table_lookup(jnp.stack([ccy, ccx], axis=-1), l_idx)
+    dy = st.yy - cc[..., 0]
+    dx = st.xx - cc[..., 1]
     r = jnp.sqrt(dy**2 + dx**2)
     nd = r / (r + d_edge + 0.001)
     ring = jnp.clip((nd * n_bins).astype(jnp.int32), 0, n_bins - 1)
@@ -523,20 +539,29 @@ def radial_distribution(
     total_i = jnp.maximum(seg_sum(jnp.where(fg, img, 0.0), labels, max_labels), 1e-12)
     total_n = jnp.maximum(st.area, 1.0)
     out = {}
-    # scatter into (label, ring) and (label, ring, wedge)
+    # one 10-column binned pass over (label, ring) bins: intensity sum,
+    # pixel count, and the 8 wedge-partitioned intensity sums (wedge
+    # membership as one-hot columns) — replaces three scatters, one of
+    # them into an 8224-bin space
     flat_lr = jnp.where(fg, labels, 0) * n_bins + ring
-    ring_i = jnp.zeros((max_labels + 1) * n_bins).at[flat_lr.reshape(-1)].add(
-        jnp.where(fg, img, 0.0).reshape(-1)
-    ).reshape(max_labels + 1, n_bins)[1:]
-    ring_n = jnp.zeros((max_labels + 1) * n_bins).at[flat_lr.reshape(-1)].add(
-        fg.reshape(-1).astype(jnp.float32)
-    ).reshape(max_labels + 1, n_bins)[1:]
-    flat_lrw = (jnp.where(fg, labels, 0) * n_bins + ring) * n_wedges + wedge
-    rw_i = jnp.zeros((max_labels + 1) * n_bins * n_wedges).at[
-        flat_lrw.reshape(-1)
-    ].add(jnp.where(fg, img, 0.0).reshape(-1)).reshape(
-        max_labels + 1, n_bins, n_wedges
+    img_m = jnp.where(fg, img, 0.0)
+    wedge_oh = (
+        wedge[..., None] == jnp.arange(n_wedges, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    cols = jnp.concatenate(
+        [
+            img_m[..., None],
+            fg.astype(jnp.float32)[..., None],
+            img_m[..., None] * wedge_oh,
+        ],
+        axis=-1,
+    )  # (H, W, 2 + n_wedges)
+    acc = binned_sum_cols(cols, flat_lr, (max_labels + 1) * n_bins).reshape(
+        max_labels + 1, n_bins, 2 + n_wedges
     )[1:]
+    ring_i = acc[..., 0]
+    ring_n = acc[..., 1]
+    rw_i = acc[..., 2:]
     for b in range(n_bins):
         frac_at_d = ring_i[:, b] / total_i
         frac_px = ring_n[:, b] / total_n
