@@ -253,33 +253,38 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
     asm = jtot[..., 0] / T**2
     entropy = jtot[..., 1] / T + logT
 
-    # ---- marginal entropies from the joint cells --------------------------
-    # hx / sum entropy / diff entropy need only value-count multiplicities,
-    # and every (qmin, qmax) cell's count r is already on the joint sort's
-    # run starts — so the marginals are dense scatter-adds of r into
-    # (angle, label, value) tables (a cell feeds qmin and qmax for the
-    # endpoint marginal, qmin+qmax for sums, qmax-qmin for diffs), and each
-    # entropy is an elementwise -sum m log m. An earlier formulation sorted
-    # a second 4N-element value-tagged key array for these; that sort was
-    # ~half the family's device time.
-    r_at_start = jnp.where(rs, rlen.astype(jnp.float32), 0.0)
-    sal = gid_j  # (angle, label) group of each sorted element
-
-    def _marginal_entropy(idx_list, nbins):
-        idx = jnp.concatenate(
-            [jnp.clip(i, 0, LA * nbins - 1) for i in idx_list]
-        )
-        r = jnp.concatenate([r_at_start] * len(idx_list))[:, None]
-        m = binned_sum_cols(r, idx, LA * nbins)[:, 0].reshape(A, L1, nbins)[
-            :, 1:
-        ]
-        return -(m * _safe_log(m)).sum(-1)  # (A, L)
-
-    ment_ends = _marginal_entropy(
-        [sal * G + sqmin, sal * G + sqmax], G
+    # ---- projection sort: hx, sum entropy, diff entropy -------------------
+    # -sum_v m log m == -sum_el log(run_len of el's value) over a sort of
+    # value-tagged keys, so one 4N-element sort + run lengths gives every
+    # marginal multiplicity; the per-group totals then ride the one-hot
+    # kernel at (angle, label) granularity. (A dense-(group, value)-table
+    # scatter formulation was tried between: those 262-525k-element wide
+    # scatters cost ~45 ms EACH on v5e — ~70% of the family — while the
+    # sort is ~3 ms and the kernel group-sums ~10 ms per marginal.)
+    # Because the three marginals' key bases are 0, LA*V, 2*LA*V, the
+    # sorted array splits into three contiguous static regions.
+    V = 2 * G  # value span: endpoints/diffs < G, sums < 2G-1
+    base_e = (0 * LA + al) * V
+    base_s = (1 * LA + al) * V
+    base_d = (2 * LA + al) * V
+    pkey = jnp.concatenate(
+        [base_e + q0i, base_e + q1i, base_s + (q0i + q1i),
+         base_d + jnp.abs(q0i - q1i)]
     )
-    ment_sums = _marginal_entropy([sal * (2 * G - 1) + sqmin + sqmax], 2 * G - 1)
-    ment_diffs = _marginal_entropy([sal * G + (sqmax - sqmin)], G)
+    spk = jnp.sort(pkey)
+    M = pkey.shape[0]
+    prlen, _ = _run_lengths(spk, jnp.int32(M + 3 * LA * V))
+    contrib = -jnp.log(prlen.astype(jnp.float32))[:, None]
+    gid_p = spk // V
+
+    def _ptot(sl, base):
+        return binned_sum_cols(
+            contrib[sl], jnp.clip(gid_p[sl] - base, 0, LA - 1), LA
+        )[:, 0].reshape(A, L1)[:, 1:]
+
+    ment_ends = _ptot(slice(0, 2 * N), 0)
+    ment_sums = _ptot(slice(2 * N, 3 * N), LA)
+    ment_diffs = _ptot(slice(3 * N, 4 * N), 2 * LA)
     inv_n = 1.0 / jnp.maximum(n_pairs, 1e-12)
     logn = jnp.log(jnp.maximum(n_pairs, 1e-12))
     hx = ment_ends / T + logT
