@@ -318,9 +318,54 @@ def reduce_z_traced(img, method):
 
 
 def tree_collect(plan_sig, labels, imgs, max_labels):
-    """Traceable: evaluate every plan entry -> (names, (n, F, L) array)."""
+    """Traceable: evaluate every plan entry -> (names, (n, F, L) array).
+
+    Zernike-family entries (``zernike`` + per-channel ``radial_zernikes``)
+    are pulled out and evaluated through ONE shared geometry/polynomial
+    pass and one wide segment reduction (``texture.zernike_family_multi``)
+    — a full default tree carries 6 such entries whose only difference is
+    the integrand weight raster.
+    """
     outputs = {}
+    zmask = [
+        i
+        for i, e in enumerate(plan_sig)
+        if e[0] == "mask_family" and e[1] == "zernike"
+    ]
+    zimg = [
+        (i, e[3])
+        for i, e in enumerate(plan_sig)
+        if e[0] == "image_family" and e[1] == "radial_zernikes"
+    ]
+    handled: set = set()
+    if len(zmask) + len(zimg) >= 2:
+        from aliby_tpu.extract import texture as _texture
+
+        def img2d(slot):
+            im = imgs[slot]
+            return im.max(axis=1) if im.ndim == 4 else im
+
+        ims = (
+            jnp.stack([img2d(s) for _, s in zimg], axis=1)  # (F, C', H, W)
+            if zimg
+            else jnp.zeros((labels.shape[0], 0) + labels.shape[1:], jnp.float32)
+        )
+        mask_out, img_outs = jax.vmap(
+            lambda l, im: _texture.zernike_family_multi(
+                l, im, bool(zmask), max_labels
+            )
+        )(labels, ims)
+        for i in zmask:
+            for (n, m), v in mask_out.items():
+                outputs[f"{i}::Zernike_{n}_{m}"] = v
+            handled.add(i)
+        for c, (i, _) in enumerate(zimg):
+            for (n, m), v in img_outs[c].items():
+                outputs[f"{i}::RadialZernike_{n}_{m}"] = v
+            handled.add(i)
     for idx, entry in enumerate(plan_sig):
+        if idx in handled:
+            continue
         for name, v in _entry_values(entry, labels, imgs, max_labels).items():
             outputs[f"{idx}::{name}"] = v
     names = sorted(outputs)

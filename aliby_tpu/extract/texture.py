@@ -407,16 +407,28 @@ def _zernike_pairs(max_n: int = 9):
     return pairs
 
 
-def _zernike_core(labels, weight, max_labels):
-    """|A_nm| of ``weight`` over each object's minimum-enclosing-circle
-    unit disk (the centrosome/CellProfiler zernike convention: the disk is
-    the object's minimum enclosing circle, not a centroid-centered one).
+def zernike_family_multi(labels, imgs, with_mask: bool, max_labels: int):
+    """All zernike-family entries of a tree in ONE geometry pass + ONE
+    segment reduction.
 
-    All 30 (n, m) pairs' real+imaginary integrands are stacked into one
-    (HW, 60) column block and accumulated by a SINGLE multi-column
-    scatter-add (60 separate per-pair scatters serialized on the TPU's
-    scatter unit — ~340 ms/8 FOVs; one wide scatter rides contiguous
-    lanes). Radial powers rho^p are shared across pairs.
+    |A_nm| over each object's minimum-enclosing-circle unit disk (the
+    centrosome/CellProfiler zernike convention: the disk is the object's
+    minimum enclosing circle, not a centroid-centered one). A full default
+    tree carries 1 mask-weighted entry (``zernike``) plus one
+    intensity-weighted entry per channel (``radial_zernikes``); evaluated
+    independently each rebuilds the MEC geometry, rho/theta, the 30 radial
+    polynomials and 60 trig rasters, and pays its own 60-column segment
+    pass. Here the weight factors out of the integrand: the 60 polynomial
+    rasters ``R_nm*cos/sin`` are built once and every entry contributes
+    ``w_c * Z`` columns to ONE (HW, C*60 + C) one-hot-MXU reduction (the
+    +C are per-entry non-finite indicator columns that reproduce the
+    per-entry scatter NaN-poisoning semantics the kernel's shared flag
+    would otherwise widen across entries).
+
+    ``imgs``: (C', H, W) intensity rasters for the radial entries (C' may
+    be 0 → shape (0, H, W)); ``with_mask``: whether to also emit the
+    unweighted entry. Returns ``(mask_dict_or_None, [dict per img])`` with
+    {(n, m): (L,)} values.
     """
     from aliby_tpu.extract.reductions import minimum_enclosing_circle
 
@@ -432,13 +444,32 @@ def _zernike_core(labels, weight, max_labels):
     rho = r / lk[..., 2]
     theta = jnp.arctan2(dy, dx)
     inside = (labels > 0) & (rho <= 1.0 + 1e-6)
-    w = jnp.where(inside, weight, 0.0)
+    base = inside.astype(jnp.float32)
+
+    # per-entry weight rasters ---------------------------------------------
+    ws = []
+    if with_mask:
+        ws.append(base)
+    nC = int(imgs.shape[0])
+    if nC:
+        imf = imgs.astype(jnp.float32)
+        fg = labels > 0
+        # per-object intensity totals for ALL channels in one pass
+        # (normalizes magnitudes to be scale-free, matching upstream)
+        masked = jnp.where(fg[None], jnp.nan_to_num(imf), 0.0)
+        tots = seg_sum_cols(
+            jnp.moveaxis(masked, 0, -1), labels, max_labels
+        )  # (L, C')
+        inv = table_lookup(1.0 / jnp.maximum(tots, 1e-12), l_idx)  # (H,W,C')
+        for c in range(nC):
+            ws.append(jnp.where(inside, imf[c] * inv[..., c], 0.0))
+
     pairs = _zernike_pairs()
     max_n = max(n for n, _ in pairs)
     pows = [jnp.ones_like(rho)]
     for _ in range(max_n):
         pows.append(pows[-1] * rho)
-    cols = []
+    zcols = []
     for n, m in pairs:
         R = jnp.zeros_like(rho)
         for s in range((n - m) // 2 + 1):
@@ -452,37 +483,52 @@ def _zernike_core(labels, weight, max_labels):
                 )
             )
             R = R + c * pows[n - 2 * s]
-        cols.append(w * R * jnp.cos(m * theta))
-        cols.append(w * R * jnp.sin(m * theta))
-    vals = jnp.stack(cols, axis=-1).reshape(-1, 2 * len(pairs))  # (HW, 60)
-    acc = seg_sum_cols(vals, labels, max_labels)  # (L, 60), one MXU pass
-    out = {}
-    for i, (n, m) in enumerate(pairs):
-        re, im = acc[:, 2 * i], acc[:, 2 * i + 1]
-        norm = (n + 1) / (jnp.pi * rmax**2)
-        mag = jnp.sqrt(re**2 + im**2) * norm
-        out[(n, m)] = jnp.where(present, mag, jnp.nan)
-    return out
+        zcols.append(R * jnp.cos(m * theta))
+        zcols.append(R * jnp.sin(m * theta))
+    Z = jnp.stack(zcols, axis=-1)  # (H, W, 60), weight-independent
+    K = Z.shape[-1]
+
+    blocks = []
+    for w in ws:
+        finite = jnp.isfinite(w)
+        wc = jnp.where(finite, w, 0.0)
+        blocks.append(Z * wc[..., None])
+        blocks.append((~finite).astype(jnp.float32)[..., None])
+    vals = jnp.concatenate(blocks, axis=-1)  # (H, W, C*(K+1))
+    acc = seg_sum_cols(vals, labels, max_labels)  # (L, C*(K+1)), one pass
+
+    def unpack(e):
+        a = acc[:, e * (K + 1) : e * (K + 1) + K]
+        poison = acc[:, e * (K + 1) + K] > 0
+        out = {}
+        for i, (n, m) in enumerate(pairs):
+            re, im = a[:, 2 * i], a[:, 2 * i + 1]
+            norm = (n + 1) / (jnp.pi * rmax**2)
+            mag = jnp.sqrt(re**2 + im**2) * norm
+            out[(n, m)] = jnp.where(present & ~poison, mag, jnp.nan)
+        return out
+
+    e = 0
+    mask_out = None
+    if with_mask:
+        mask_out = unpack(0)
+        e = 1
+    img_outs = [unpack(e + c) for c in range(nC)]
+    return mask_out, img_outs
 
 
 @functools.partial(jax.jit, static_argnames=("max_labels",))
 def zernike(labels: jnp.ndarray, max_labels: int) -> dict:
-    vals = _zernike_core(labels, jnp.ones_like(labels, jnp.float32), max_labels)
+    empty = jnp.zeros((0,) + labels.shape, jnp.float32)
+    vals, _ = zernike_family_multi(labels, empty, True, max_labels)
     return {f"Zernike_{n}_{m}": v for (n, m), v in vals.items()}
 
 
 @functools.partial(jax.jit, static_argnames=("max_labels",))
 def radial_zernikes(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int) -> dict:
     """Intensity-weighted zernike magnitudes (cp_measure radial_zernikes)."""
-    img = img.astype(jnp.float32)
-    # normalize intensity per object so magnitudes are scale-free
-    tot = seg_sum(jnp.where(labels > 0, img, 0.0), labels, max_labels)
-    w = img / table_lookup(
-        jnp.maximum(tot, 1e-12)[:, None],
-        jnp.clip(labels - 1, 0, max_labels - 1),
-    )[..., 0]
-    vals = _zernike_core(labels, w, max_labels)
-    return {f"RadialZernike_{n}_{m}": v for (n, m), v in vals.items()}
+    _, outs = zernike_family_multi(labels, img[None], False, max_labels)
+    return {f"RadialZernike_{n}_{m}": v for (n, m), v in outs[0].items()}
 
 
 # ---------------------------------------------------------------------------

@@ -93,19 +93,22 @@ def _bench_mesh_runner(build_workload, n_fovs, file=sys.stderr):
     import tempfile
 
     from aliby_tpu.engine.builders import DEFAULT_FEATURES
+    from aliby_tpu.io.dataset import DatasetDir
     from aliby_tpu.parallel.pipeline_mesh import run_positions_mesh
     from aliby_tpu.test_data import _write_tiff
 
     root = Path(tempfile.mkdtemp(prefix="bench_plate_"))
     fovs = build_workload(n_fovs, seed=11)
-    positions = []
     for i, fov in enumerate(fovs):
         well = f"A{i + 1:02d}"
         for c in range(fov.shape[1]):
             img = np.clip(fov[0, c, 0] * 12000.0, 0, 65535).astype(np.uint16)
             _write_tiff(root / f"plate1__{well}__1__c{c}.tif", img)
-        positions.append({"key": f"{well}__1", "path": root})
     regex = r".*__(A[0-9]{2})__([0-9])__c([0-9])\.tif"
+    # discover positions the way a user would: path = the file list, so
+    # dispatch_image routes to ImageList (a bare dir dict routes to zarr)
+    positions = DatasetDir(root, regex=regex, capture_order="WFC").get_position_ids()
+    assert len(positions) == n_fovs, positions
     full_mono = {
         "None": {"None": ("sizeshape",)},
         0: {"max": list(DEFAULT_FEATURES)},
