@@ -94,12 +94,16 @@ def run_positions_mesh(
     sharding = NamedSharding(mesh, P("dp"))
     ntps = base_pipeline.get("ntps", 1)
     pool = ThreadPoolExecutor(max_workers=min(8, max(2, len(entries))))
+
+    def submit_io(tp):
+        # one future per position, NOT pool.map inside pool.submit (a
+        # nested map can deadlock a bounded pool)
+        return [pool.submit(lambda e=e: e["tiler"].run_tp(tp)) for e in entries]
+
     try:
+        io_futs = submit_io(0)
         for tp in range(ntps):
-            # host IO in parallel threads
-            tile_results = list(
-                pool.map(lambda e: e["tiler"].run_tp(tp), entries)
-            )
+            tile_results = [f.result() for f in io_futs]
             pixel_blocks = [tr.pop("pixels") for tr in tile_results]
             pixel_blocks = [
                 np.asarray(pb, np.float32)[0] if np.asarray(pb).ndim == 6
@@ -118,10 +122,14 @@ def run_positions_mesh(
                     [flat, np.repeat(flat[:1], pad, axis=0)], axis=0
                 )
             flat = jax.device_put(flat, sharding)
+            if tp + 1 < ntps:
+                io_futs = submit_io(tp + 1)  # overlaps the fused dispatch
             out = compiled.fused(flat)  # ONE sharded dispatch for all positions
-            # split results back per position
+            # split results back per position; bookkeeping is independent
+            # per position (own state dict, own steps_dir) -> thread it
             F = n_tiles[0]
-            for i, e in enumerate(entries):
+
+            def bookkeep(i, e):
                 sl = slice(i * F, (i + 1) * F)
                 per_pos = {
                     "labels": [lbl[sl] for lbl in out["labels"]],
@@ -135,13 +143,21 @@ def run_positions_mesh(
                     tp, e["tiler"], e["state"], e["pipeline"], steps_dir,
                     tile_result=tile_results[i], out=per_pos,
                 )
+
+            list(pool.map(lambda ie: bookkeep(*ie), enumerate(entries)))
+
+        results = {}
+        for e, prof in zip(
+            entries,
+            pool.map(
+                lambda e: finalize_position(
+                    e["state"], e["pipeline"], e["pos"]["key"], output_path,
+                    init_step, post_state_hook=None,
+                ),
+                entries,
+            ),
+        ):
+            results[e["pos"]["key"]] = prof
     finally:
         pool.shutdown(wait=False)
-
-    results = {}
-    for e in entries:
-        results[e["pos"]["key"]] = finalize_position(
-            e["state"], e["pipeline"], e["pos"]["key"], output_path,
-            init_step, post_state_hook=None,
-        )
     return results
