@@ -146,7 +146,16 @@ def compile_fused_step(objects: Sequence[FusedObject], max_labels: int = 256):
                 names_acc[oi][ti] = names
         if not names_box:
             names_box.append(names_acc)
-        return all_labels, all_feats
+        # Pack the outputs INSIDE the program: the tunnel-attached chip
+        # pays a ~28 ms dispatch floor per jit call after any D2H, so a
+        # host-side jnp.stack / jnp.concatenate would each cost a full
+        # extra dispatch. Labels fit uint16 (max_labels <= 65535) — half
+        # the readback bytes of int32 at ~80 MB/s tunnel D2H.
+        labels_pack = jnp.stack(all_labels).astype(jnp.uint16)
+        feats_pack = jnp.concatenate(
+            [a for per_obj in all_feats for a in per_obj], axis=0
+        )
+        return labels_pack, feats_pack
 
     def run(pixels):
         if not isinstance(pixels, jax.Array):
@@ -156,12 +165,16 @@ def compile_fused_step(objects: Sequence[FusedObject], max_labels: int = 256):
         if pixels.ndim == 6:
             pixels = pixels[0]
         params_list = [obj.engine.params for obj in objects]
-        labels_dev, feats_dev = step(params_list, jnp.asarray(pixels))
-        # two readbacks total: labels stack + one concatenated feature block
-        labels = np.asarray(jnp.stack(labels_dev))
-        flat_feats = [a for per_obj in feats_dev for a in per_obj]
-        sizes = [a.shape[0] for a in flat_feats]
-        big = np.asarray(jnp.concatenate(flat_feats, axis=0))
+        labels_pack, feats_pack = step(params_list, jnp.asarray(pixels))
+        # two readbacks total (stack/concat happen in-program — no extra
+        # host-side dispatches): labels (uint16) + one feature block
+        labels = np.asarray(labels_pack).astype(np.int32)
+        big = np.asarray(feats_pack)
+        sizes = [
+            len(names_box[0][oi][ti])
+            for oi, obj in enumerate(objects)
+            for ti in range(len(obj.trees))
+        ]
         feats = []
         off = 0
         for n in sizes:

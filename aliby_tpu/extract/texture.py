@@ -244,47 +244,50 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
     sqmin = (sjk // G) % G
     sqmax = sjk % G
     s_cell = jnp.where(sqmin == sqmax, 2 * rlen, rlen).astype(jnp.float32)
+    # per-(angle, label) group totals over a SORTED key array: the keys are
+    # gid*SPAN + value, so group g occupies the contiguous slice
+    # [searchsorted(g*SPAN), searchsorted((g+1)*SPAN)) — one f32 cumsum
+    # (XLA tree scan, ~0.3 ms at 16x1M) read at LA+1 boundary positions
+    # (~5 ms) replaces a 1-col one-hot kernel pass (~31 ms at 16x4N).
+    # Label-0 (invalid-pair) contributions are zeroed BEFORE the cumsum so
+    # the running magnitude — and therefore the f32 cancellation error of
+    # late boundary differences — tracks the valid pairs only.
+    def _group_sums(sorted_keys, vals, span):
+        vals = jnp.where(
+            ((sorted_keys // span) % L1 == 0)[:, None], 0.0, vals
+        )
+        cs = jnp.concatenate(
+            [jnp.zeros((1, vals.shape[1])), jnp.cumsum(vals, axis=0)]
+        )
+        pos = jnp.searchsorted(
+            sorted_keys, jnp.arange(LA + 1, dtype=jnp.int32) * span
+        )
+        return (cs[pos[1:]] - cs[pos[:-1]]).reshape(A, L1, -1)[:, 1:]
+
     jvals = jnp.stack([2.0 * s_cell, -2.0 * jnp.log(s_cell)], axis=-1)
-    jtot = binned_sum_cols(jvals, jnp.clip(gid_j, 0, LA - 1), LA).reshape(
-        A, L1, 2
-    )[:, 1:]
+    jtot = _group_sums(sjk, jvals, G * G)
     T = jnp.maximum(2.0 * n_pairs, 1e-12)
     logT = jnp.log(T)
     asm = jtot[..., 0] / T**2
     entropy = jtot[..., 1] / T + logT
 
-    # ---- projection sort: hx, sum entropy, diff entropy -------------------
+    # ---- marginal entropies: hx, sum entropy, diff entropy ----------------
     # -sum_v m log m == -sum_el log(run_len of el's value) over a sort of
-    # value-tagged keys, so one 4N-element sort + run lengths gives every
-    # marginal multiplicity; the per-group totals then ride the one-hot
-    # kernel at (angle, label) granularity. (A dense-(group, value)-table
-    # scatter formulation was tried between: those 262-525k-element wide
-    # scatters cost ~45 ms EACH on v5e — ~70% of the family — while the
-    # sort is ~3 ms and the kernel group-sums ~10 ms per marginal.)
-    # Because the three marginals' key bases are 0, LA*V, 2*LA*V, the
-    # sorted array splits into three contiguous static regions.
-    V = 2 * G  # value span: endpoints/diffs < G, sums < 2G-1
-    base_e = (0 * LA + al) * V
-    base_s = (1 * LA + al) * V
-    base_d = (2 * LA + al) * V
-    pkey = jnp.concatenate(
-        [base_e + q0i, base_e + q1i, base_s + (q0i + q1i),
-         base_d + jnp.abs(q0i - q1i)]
-    )
-    spk = jnp.sort(pkey)
-    M = pkey.shape[0]
-    prlen, _ = _run_lengths(spk, jnp.int32(M + 3 * LA * V))
-    contrib = -jnp.log(prlen.astype(jnp.float32))[:, None]
-    gid_p = spk // V
+    # value-tagged keys (each element of an m-run contributes -log m).
+    # The three marginals sort SEPARATELY (2N + N + N ≈ 19 ms beats the
+    # earlier concatenated 4N sort at ~27 ms, and peak sort workspace
+    # halves); group totals ride the cumsum/boundary read above. (Ancient
+    # history: dense-(group, value)-table scatters cost ~45 ms EACH; the
+    # one-hot kernel on the concatenated 4N layout cost ~31 ms.)
+    def _ment(keys, span):
+        sk = jnp.sort(keys)
+        rl, _ = _run_lengths(sk, jnp.int32(keys.shape[0]))
+        contrib = -jnp.log(rl.astype(jnp.float32))[:, None]
+        return _group_sums(sk, contrib, span)[..., 0]
 
-    def _ptot(sl, base):
-        return binned_sum_cols(
-            contrib[sl], jnp.clip(gid_p[sl] - base, 0, LA - 1), LA
-        )[:, 0].reshape(A, L1)[:, 1:]
-
-    ment_ends = _ptot(slice(0, 2 * N), 0)
-    ment_sums = _ptot(slice(2 * N, 3 * N), LA)
-    ment_diffs = _ptot(slice(3 * N, 4 * N), 2 * LA)
+    ment_ends = _ment(jnp.concatenate([al * G + q0i, al * G + q1i]), G)
+    ment_sums = _ment(al * (2 * G) + (q0i + q1i), 2 * G)
+    ment_diffs = _ment(al * G + jnp.abs(q0i - q1i), G)
     inv_n = 1.0 / jnp.maximum(n_pairs, 1e-12)
     logn = jnp.log(jnp.maximum(n_pairs, 1e-12))
     hx = ment_ends / T + logT
