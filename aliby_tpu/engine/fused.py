@@ -24,6 +24,7 @@ The per-object results convert back into the reference's
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -48,7 +49,19 @@ class FusedObject:
     trees: Sequence[tuple[dict, dict | None]]  # [(tree, cp_measure_kwargs)]
 
 
-def compile_fused_step(objects: Sequence[FusedObject], max_labels: int = 256):
+def compile_fused_step(
+    objects: Sequence[FusedObject],
+    max_labels: int = 256,
+    out_labels_cap: int = 64,
+):
+    """``out_labels_cap`` bounds the label axis of the feature READBACK
+    (compute always runs at ``max_labels``): the full-bank block is
+    ~(1000 names, F, 256) f32 ≈ 8 MB, ~100 ms at the tunnel's ~80 MB/s
+    D2H, yet typical fields carry a few dozen objects — the tail is NaN
+    padding. The step transfers ``feats[..., :cap]``; the runner checks
+    the realized max label on the (always full) labels readback and, on
+    overflow, rebuilds at full width and stays there (one extra compile
+    on pathological plates, never a wrong result)."""
     plans = []
     for obj in objects:
         obj_plans = []
@@ -87,8 +100,10 @@ def compile_fused_step(objects: Sequence[FusedObject], max_labels: int = 256):
 
     names_box: list = []
 
-    @jax.jit
-    def step(params_list, pixels):
+    def _make_step(cap: int):
+        return jax.jit(functools.partial(_step_impl, cap))
+
+    def _step_impl(cap, params_list, pixels):
         """pixels: (F, C, Z, Y, X) float32."""
         F = pixels.shape[0]
 
@@ -155,7 +170,10 @@ def compile_fused_step(objects: Sequence[FusedObject], max_labels: int = 256):
         feats_pack = jnp.concatenate(
             [a for per_obj in all_feats for a in per_obj], axis=0
         )
-        return labels_pack, feats_pack
+        return labels_pack, feats_pack[..., :cap]
+
+    cap0 = min(max(1, out_labels_cap), max_labels)
+    state = {"cap": cap0, "step": _make_step(cap0)}
 
     def run(pixels):
         if not isinstance(pixels, jax.Array):
@@ -165,10 +183,18 @@ def compile_fused_step(objects: Sequence[FusedObject], max_labels: int = 256):
         if pixels.ndim == 6:
             pixels = pixels[0]
         params_list = [obj.engine.params for obj in objects]
-        labels_pack, feats_pack = step(params_list, jnp.asarray(pixels))
+        pixels = jnp.asarray(pixels)
+        labels_pack, feats_pack = state["step"](params_list, pixels)
         # two readbacks total (stack/concat happen in-program — no extra
         # host-side dispatches): labels (uint16) + one feature block
         labels = np.asarray(labels_pack).astype(np.int32)
+        if labels.max() > state["cap"]:
+            # realized objects exceed the readback cap: rebuild at full
+            # width and STAY there (sticky; one recompile per fused step)
+            state["cap"] = max_labels
+            state["step"] = _make_step(max_labels)
+            labels_pack, feats_pack = state["step"](params_list, pixels)
+            labels = np.asarray(labels_pack).astype(np.int32)
         big = np.asarray(feats_pack)
         sizes = [
             len(names_box[0][oi][ti])

@@ -145,18 +145,23 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
     and run-length encoding instead of scattering:
 
     - linear-in-P terms (contrast, IDM, sum/diff moments, E[ij], marginal
-      mean/variance — all symmetric in (i, j)) are ONE (N, 9) multi-column
-      scatter into (angle, label) bins, N = all 4 angles' pair slots;
+      mean/variance — all symmetric in (i, j)) are pure functions of the
+      (qmin, qmax) the sorted joint key encodes, so they ride the same
+      cumsum/boundary group sums as the entropy terms — no separate
+      binned pass at all; N = all 4 angles' pair slots;
     - ASM and entropy need each pair's own symmetric cell count s: sort
-      key = (angle, label, qmin, qmax); run length r gives s = r (off-diag,
-      two cells each of count r) or 2r (diagonal, one cell of count 2r);
-      then sum_cells s^2 = sum_el 2 s_el and
-      -sum_cells (s/T) log(s/T) = [-2 sum_el log s_el] / T + log T;
-    - the three marginal entropies (hx over endpoints — the symmetric GLCM
-      has px == py so hxy1 == hxy2 == 2*hx — sum entropy over q0+q1, diff
-      entropy over |q0-q1|) reuse the joint cells: dense scatter-adds of
-      each cell's count into (angle, label, value) tables, then
-      -sum m log m.
+      key = (angle, label, q0+q1, |q0-q1|) — a bijection of the cell
+      (qmin, qmax); run length r gives s = r (off-diag, two cells each of
+      count r) or 2r (diagonal, one cell of count 2r); then
+      sum_cells s^2 = sum_el 2 s_el and
+      -sum_cells (s/T) log(s/T) = [-2 sum_el log s_el] / T + log T. The
+      sum-major order makes (angle, label, q0+q1) slices contiguous, so
+      the SUM-marginal entropy is a second run-length pass on the same
+      sorted array (diff digit stripped) — no separate sort;
+    - the remaining marginal entropies (hx over endpoints — the symmetric
+      GLCM has px == py so hxy1 == hxy2 == 2*hx — and diff entropy over
+      |q0-q1|) sort their own value-tagged keys and ride the same
+      cumsum/boundary group sums.
     Per-(angle,label) totals are one scatter-add into (angle, label) bins
     (group id = the sorted key's high bits). An earlier segmented-cumsum +
     boundary-read formulation computed the same sums gather-free, but its
@@ -185,7 +190,7 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
     L1 = max_labels + 1
     # all 4 angles' pair slots, angle-tagged; invalid slots carry label 0 and
     # land in each angle's label-0 bins, which every [:, 1:] slice drops.
-    lbls, q0s, q1s, vfs = [], [], [], []
+    lbls, q0s, q1s = [], [], []
     n_pair_slots = []
     for dy, dx in _ANGLE_OFFSETS:
         oy, ox = dy * scale, dx * scale
@@ -199,51 +204,37 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
         lbls.append(jnp.where(valid, l0, 0))
         q0s.append(q[ys, xs].reshape(-1))
         q1s.append(q[ys2, xs2].reshape(-1))
-        vfs.append(valid.astype(jnp.float32))
         n_pair_slots.append(l0.shape[0])
     lbl = jnp.concatenate(lbls)
     q0i = jnp.concatenate(q0s)
     q1i = jnp.concatenate(q1s)
-    vf = jnp.concatenate(vfs)
     ang = jnp.concatenate(
         [jnp.full((n,), a, jnp.int32) for a, n in enumerate(n_pair_slots)]
     )
     N = lbl.shape[0]
-    q0 = q0i.astype(jnp.float32)
-    q1 = q1i.astype(jnp.float32)
-    d = q0 - q1
-    ksum = q0 + q1
     LA = A * L1
     al = ang * L1 + lbl  # (angle, label) flat group id
 
-    # ---- one multi-column scatter: every symmetric linear statistic ------
-    cols = jnp.stack(
-        [
-            vf,                   # pair count n
-            vf * d * d,           # contrast
-            vf / (1.0 + d * d),   # inverse difference moment
-            vf * ksum,            # sum average numerator
-            vf * ksum * ksum,     # sum 2nd moment
-            vf * jnp.abs(d),      # diff average numerator
-            vf * q0 * q1,         # correlation E[ij]
-            vf * (q0 * q0 + q1 * q1),  # endpoint 2nd moment (marginal var)
-        ],
-        axis=-1,
-    )
-    acc = binned_sum_cols(cols, al, LA)
-    acc = acc.reshape(A, L1, 8)[:, 1:]  # (A, L, 8)
-    n_pairs = acc[..., 0]
-
-    # ---- joint sort: ASM + entropy from symmetric cell counts ------------
-    qmin = jnp.minimum(q0i, q1i)
-    qmax = jnp.maximum(q0i, q1i)
-    jkey = (al * G + qmin) * G + qmax
+    # ---- joint sort: every linear statistic + ASM + entropy --------------
+    # SUM-MAJOR cell key: (angle, label, q0+q1, |q0-q1|). The (sum, diff)
+    # pair is a bijection of the symmetric cell (qmin, qmax) — runs are
+    # the same GLCM cells in a different order — but this ordering makes
+    # each (angle, label, sum) slice contiguous, so the SUM-marginal
+    # entropy rides this sort too (a second run-length pass on the key
+    # with the diff digit stripped) instead of paying its own N-element
+    # sort.
+    sm = q0i + q1i
+    df = jnp.abs(q0i - q1i)
+    G2 = 2 * G
+    jkey = (al * G2 + sm) * G + df
     sjk = jnp.sort(jkey)
-    rlen, rs = _run_lengths(sjk, jnp.int32(N + G * G * LA))
-    gid_j = sjk // (G * G)
-    sqmin = (sjk // G) % G
-    sqmax = sjk % G
-    s_cell = jnp.where(sqmin == sqmax, 2 * rlen, rlen).astype(jnp.float32)
+    rlen, _ = _run_lengths(sjk, jnp.int32(N + G2 * G * LA))
+    s_sum = ((sjk // G) % G2).astype(jnp.float32)  # q0+q1 per element
+    s_df = (sjk % G).astype(jnp.float32)  # |q0-q1| per element
+    s_cell = jnp.where(s_df == 0, 2 * rlen, rlen).astype(jnp.float32)
+    # run lengths of the (angle, label, sum) regions: m(al, sigma) counts
+    # for the sum-marginal entropy, per element
+    rlen_sum, _ = _run_lengths(sjk // G, jnp.int32(N + G2 * LA))
     # per-(angle, label) group totals over a SORTED key array: the keys are
     # gid*SPAN + value, so group g occupies the contiguous slice
     # [searchsorted(g*SPAN), searchsorted((g+1)*SPAN)) — one f32 cumsum
@@ -264,21 +255,45 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
         )
         return (cs[pos[1:]] - cs[pos[:-1]]).reshape(A, L1, -1)[:, 1:]
 
-    jvals = jnp.stack([2.0 * s_cell, -2.0 * jnp.log(s_cell)], axis=-1)
-    jtot = _group_sums(sjk, jvals, G * G)
+    # Every symmetric linear statistic is a function of the (sum, diff)
+    # pair the sorted key itself encodes — so the 8 columns the old
+    # standalone one-hot binned pass accumulated (~35 ms/16 images) ride
+    # the SAME cumsum/boundary read as the entropy terms, for the cost of
+    # extra cumsum columns (~3 ms). Validity needs no explicit mask:
+    # invalid slots carry label 0 and _group_sums zeroes them before the
+    # cumsum.
+    jvals = jnp.stack(
+        [
+            jnp.ones_like(s_df),    # pair count n
+            s_df * s_df,            # contrast
+            1.0 / (1.0 + s_df * s_df),  # inverse difference moment
+            s_sum,                  # sum average numerator
+            s_sum * s_sum,          # sum 2nd moment
+            s_df,                   # diff average numerator
+            (s_sum * s_sum - s_df * s_df) / 4.0,  # E[ij] (qmin*qmax)
+            (s_sum * s_sum + s_df * s_df) / 2.0,  # endpoint 2nd moment
+            2.0 * s_cell,           # ASM numerator
+            -2.0 * jnp.log(s_cell),  # joint entropy numerator
+            -jnp.log(rlen_sum.astype(jnp.float32)),  # sum-marginal entropy
+        ],
+        axis=-1,
+    )
+    acc = _group_sums(sjk, jvals, G2 * G)  # (A, L, 11)
+    n_pairs = acc[..., 0]
     T = jnp.maximum(2.0 * n_pairs, 1e-12)
     logT = jnp.log(T)
-    asm = jtot[..., 0] / T**2
-    entropy = jtot[..., 1] / T + logT
+    asm = acc[..., 8] / T**2
+    entropy = acc[..., 9] / T + logT
+    ment_sums = acc[..., 10]
 
-    # ---- marginal entropies: hx, sum entropy, diff entropy ----------------
+    # ---- remaining marginal entropies: hx, diff entropy -------------------
     # -sum_v m log m == -sum_el log(run_len of el's value) over a sort of
     # value-tagged keys (each element of an m-run contributes -log m).
-    # The three marginals sort SEPARATELY (2N + N + N ≈ 19 ms beats the
-    # earlier concatenated 4N sort at ~27 ms, and peak sort workspace
-    # halves); group totals ride the cumsum/boundary read above. (Ancient
-    # history: dense-(group, value)-table scatters cost ~45 ms EACH; the
-    # one-hot kernel on the concatenated 4N layout cost ~31 ms.)
+    # The two remaining marginals sort SEPARATELY (2N + N; separate sorts
+    # beat a concatenated layout, and peak sort workspace halves); group
+    # totals ride the cumsum/boundary read above; the SUM marginal rides
+    # the joint sort (sum-major key). (Ancient history: dense tables
+    # scattered at ~45 ms EACH; one-hot kernel on 4N cost ~31 ms.)
     def _ment(keys, span):
         sk = jnp.sort(keys)
         rl, _ = _run_lengths(sk, jnp.int32(keys.shape[0]))
@@ -286,7 +301,6 @@ def texture(labels: jnp.ndarray, img: jnp.ndarray, max_labels: int, scale: int =
         return _group_sums(sk, contrib, span)[..., 0]
 
     ment_ends = _ment(jnp.concatenate([al * G + q0i, al * G + q1i]), G)
-    ment_sums = _ment(al * (2 * G) + (q0i + q1i), 2 * G)
     ment_diffs = _ment(al * G + jnp.abs(q0i - q1i), G)
     inv_n = 1.0 / jnp.maximum(n_pairs, 1e-12)
     logn = jnp.log(jnp.maximum(n_pairs, 1e-12))

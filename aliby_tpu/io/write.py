@@ -66,7 +66,12 @@ def write_parquet(result, output_path=None, subpath: str = "", filename: str = "
         table = pa.Table.from_pydict(result)
     else:
         table = pa.Table.from_pandas(result)
-    pq.write_table(table, target, compression="zstd")
+    # stats/dict off: wide-and-short tables pay per-column-chunk overhead
+    # for metadata nothing reads (see engine/core.py finalize_position)
+    pq.write_table(
+        table, target, compression="zstd",
+        write_statistics=False, use_dictionary=False,
+    )
     return target
 
 

@@ -37,7 +37,8 @@ def label_median_centers(
     per-object coordinate median (``np.median(y), np.median(x)`` snapped to
     the nearest in-object pixel; ties -> first in raster order). Medians
     come from per-label coordinate histograms (integer coordinates), not a
-    sort: one (L, H) + one (L, W) scatter, cumsum, midpoint lookup.
+    sort: fused one-hot row/column count reductions, cumsum, midpoint
+    lookup.
     """
     del n_iter
     H, W = labels.shape
@@ -46,11 +47,18 @@ def label_median_centers(
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     fgf = (labels > 0).reshape(-1)
 
-    def coord_median(coords, size):
-        hist = jnp.zeros((max_labels + 1) * size, jnp.int32).at[
-            flat_l * size + coords.reshape(-1)
-        ].add(fgf.astype(jnp.int32)).reshape(max_labels + 1, size)
-        cum = jnp.cumsum(hist, axis=1)
+    def coord_median(axis, size):
+        # coordinate histogram WITHOUT a scatter: hist[l, v] = count of
+        # label-l pixels in row/column v = a one-hot compare reduced over
+        # the other axis. XLA fuses the broadcast-compare into the
+        # reduction (the (H, W, L) one-hot never hits HBM), so this reads
+        # the labels once — the two 1M-element scatter-adds it replaces
+        # cost ~10-15 ms each on v5e and dominated masks_to_flows.
+        ids = jnp.arange(max_labels + 1, dtype=labels.dtype)
+        lc = jnp.clip(labels, 0, max_labels)
+        oh = (lc[..., None] == ids) & (labels > 0)[..., None]
+        hist = oh.sum(axis=1 - axis, dtype=jnp.int32)  # (size, L+1)
+        cum = jnp.cumsum(hist, axis=0).T  # (L+1, size)
         n = cum[:, -1]
         # np.median: average of the ceil(n/2)-th and floor(n/2)+1-th order
         # statistics (1-indexed) for even n; the middle one for odd n.
@@ -61,8 +69,8 @@ def label_median_centers(
         return (lo + hi).astype(jnp.int32)  # (L+1,) 2*median, exact int
 
     # Snap to the nearest in-object pixel (ties -> first in raster order)
-    # with THREE 1M-element ops total (2 histogram scatters + 1 packed
-    # scatter-min + 1 small-table gather) instead of the naive
+    # with ONE 1M-element op total (a packed scatter-min; the coordinate
+    # histograms above are scatter-free) instead of the naive
     # 4-scatter/4-gather chain — scatters and gathers at HW elements cost
     # ~10-15 ms each on v5e, everything else here is noise:
     # - the two medians ride one int32 table lookup (2*ymed << 16 | 2*xmed);
@@ -71,8 +79,8 @@ def label_median_centers(
     #   median; a farther pixel can win only if NO pixel is nearer, where
     #   any deterministic in-object choice serves as the center);
     # - centers paint back with an L-sized scatter, not an HW gather.
-    ymed2 = coord_median(yy, H)
-    xmed2 = coord_median(xx, W)
+    ymed2 = coord_median(0, H)
+    xmed2 = coord_median(1, W)
     med_packed = (ymed2 << 16) | xmed2
     mp = med_packed[flat_l]
     dy = 2 * yy.reshape(-1) - (mp >> 16)
@@ -81,7 +89,7 @@ def label_median_centers(
     # sentinel ((32767 << 16) | 65535 == iinfo.max would alias it)
     d2i = jnp.minimum(dy * dy + dx * dx, (1 << 15) - 2)
     pos = jnp.arange(H * W, dtype=jnp.int32)
-    key = (d2i << 16) | pos
+    key = (d2i << 16) | pos  # NOTE: pos needs 16 bits -> H*W <= 65536
     best = jnp.full(max_labels + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
         jnp.where(fgf, flat_l, 0)
     ].min(jnp.where(fgf, key, jnp.iinfo(jnp.int32).max))
@@ -94,8 +102,10 @@ def label_median_centers(
     return centers.reshape(H, W)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
-def masks_to_flows(labels: jnp.ndarray, n_iter: int = 96) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("n_iter", "max_labels"))
+def masks_to_flows(
+    labels: jnp.ndarray, n_iter: int = 96, max_labels: int = 512
+) -> jnp.ndarray:
     """(H, W) labels -> (2, H, W) unit flow field pointing at object centers.
 
     The published cellpose training-target construction (Stringer et al.
@@ -112,7 +122,7 @@ def masks_to_flows(labels: jnp.ndarray, n_iter: int = 96) -> jnp.ndarray:
     """
     H, W = labels.shape
     fg = labels > 0
-    source = label_median_centers(labels).astype(jnp.float32)
+    source = label_median_centers(labels, max_labels).astype(jnp.float32)
 
     # The 8 same-label neighbor masks are loop-invariant: precompute them
     # once as float multipliers instead of re-shifting + comparing the
@@ -298,13 +308,17 @@ def follow_flows(
                     k += 1
             return new
 
+        # (A half-rounds + one squaring gather variant — succ^2k[p] ==
+        # succ^k[succ^k[p]] — was measured SLOWER: the 1M-element gather
+        # costs ~25 ms/16 images while 48 stencil rounds cost ~12 ms.)
         key = jax.lax.fori_loop(0, n_prop, body, key)
+        kf = key.reshape(-1)
         succ = (sy * W + sx).reshape(-1)
         start = (
             jnp.clip(jnp.round(py), 0, H - 1) * W
             + jnp.clip(jnp.round(px), 0, W - 1)
         ).astype(jnp.int32).reshape(-1)
-        final = key.reshape(-1)[start]
+        final = kf[start]
         # The rounded successor map converges to short cycles around each
         # sink (typically 2-cycles straddling the center); pixels land on
         # either cycle element by path parity, which would split a small
@@ -329,11 +343,12 @@ def _shift2(arr: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
 _BIG_I32 = jnp.int32(2**30)
 
 
-@functools.partial(jax.jit, static_argnames=("max_labels",))
+@functools.partial(jax.jit, static_argnames=("max_labels", "drop_megamasks"))
 def masks_from_sinks(
     final_pos: jnp.ndarray,
     fg: jnp.ndarray,
     max_labels: int = 256,
+    drop_megamasks: bool = True,
 ) -> jnp.ndarray:
     """Cluster converged pixel positions into labeled masks.
 
@@ -404,11 +419,16 @@ def masks_from_sinks(
         key_i = jnp.where(corridor, ni, _BIG_I32)
 
     owner = jnp.where(key_i < _BIG_I32, key_i + 1, 0).reshape(-1)  # [0, HW]
-    raw = jnp.where(fgf, owner[sink], 0)
-    areas = jnp.zeros(HW + 1, jnp.float32).at[raw].add(1.0)
-    keep_px = (areas[raw] <= 0.4 * HW) & (raw > 0)
-    labels = jnp.where(keep_px, raw, 0).reshape(H, W)
-    return relabel_dense(labels, H * W + 1, max_labels)
+    raw = jnp.where(fgf, owner[sink], 0).reshape(H, W)
+    if drop_megamasks:
+        # standalone use keeps the upstream >40%-of-image drop here; the
+        # fused path (masks_from_flows) defers it to its per-label count
+        # pass — same final labels, two fewer HW-element scatter/gathers
+        rawf = raw.reshape(-1)
+        areas = jnp.zeros(HW + 1, jnp.float32).at[rawf].add(1.0)
+        keep_px = (areas[rawf] <= 0.4 * HW) & (rawf > 0)
+        raw = jnp.where(keep_px, rawf, 0).reshape(H, W)
+    return relabel_dense(raw, H * W + 1, max_labels)
 
 
 @jax.jit
@@ -528,15 +548,23 @@ def masks_from_flows(
     """
     fg = cellprob > cellprob_threshold
     final = follow_flows(flows, fg, n_iter=n_iter)
-    labels = masks_from_sinks(final, fg, max_labels=max_labels)
+    H, W = fg.shape
+    labels = masks_from_sinks(
+        final, fg, max_labels=max_labels, drop_megamasks=False
+    )
     l_idx = jnp.clip(labels - 1, 0, max_labels - 1)
     lab_px = jnp.where(labels > 0, labels, 0).reshape(-1)
     # QC error sums and label areas ride ONE 2-column scatter (areas are
     # invariant under whole-label QC drops, so min-size reuses the same
     # counts), and the drop masks apply through ONE table lookup — each
-    # avoided HW-element scatter/gather is ~10-15 ms on v5e.
+    # avoided HW-element scatter/gather is ~10-15 ms on v5e. The upstream
+    # >40%-of-image megamask drop rides the SAME counts (deferred out of
+    # masks_from_sinks): per-label flow errors are label-local, so
+    # dropping a megamask before or after QC yields identical survivors.
     if flow_threshold is not None:
-        mask_flows = masks_to_flows(labels)
+        # the QC recomputation's label ids are bounded by THIS max_labels —
+        # a tighter center table than masks_to_flows' 512 training default
+        mask_flows = masks_to_flows(labels, max_labels=max_labels)
         err_px = ((mask_flows - flows) ** 2).sum(axis=0)
         cols = jnp.stack(
             [
@@ -557,7 +585,18 @@ def masks_from_flows(
             jnp.clip(lab_px, 0, max_labels)
         ].add((lab_px > 0).astype(jnp.float32))[1:]
         drop = cnts < min_size
-    labels = jnp.where(drop[l_idx] & (labels > 0), 0, labels)
+    drop = drop | (cnts > 0.4 * H * W)  # deferred megamask removal
+    # Drop + final sequential compaction in ONE table gather (dropped ->
+    # 0, survivors -> their rank among survivors in ascending-label order,
+    # exactly relabel_dense's convention). Hole filling commutes with the
+    # compaction — it only compares label equality/adjacency, which any
+    # injective relabeling preserves, and it never resurrects an absent
+    # label — so compacting FIRST deletes the trailing
+    # relabel_dense(HW-scatter + HW-gather, ~30 ms/16 images) outright.
+    present = (cnts >= 1.0) & ~drop
+    seq = jnp.cumsum(present.astype(jnp.int32))
+    table = jnp.where(present, seq, 0).astype(jnp.int32)
+    labels = jnp.where(labels > 0, table[l_idx], 0)
     if fill_holes:
         labels = fill_label_holes(labels)
-    return relabel_dense(labels, max_labels + 1, max_labels)
+    return labels
