@@ -369,6 +369,11 @@ def tree_collect(plan_sig, labels, imgs, max_labels):
         for name, v in _entry_values(entry, labels, imgs, max_labels).items():
             outputs[f"{idx}::{name}"] = v
     names = sorted(outputs)
+    if not names:
+        # an empty tree is legal (the builder emits a pair-less coloc tree
+        # for single-channel extraction, like the reference's
+        # _create_extract_multich_tree) — emit a 0-row feature block
+        return [], jnp.zeros((0, labels.shape[0], max_labels), jnp.float32)
     return names, jnp.stack([outputs[n] for n in names])
 
 

@@ -81,21 +81,42 @@ def label_median_centers(
     # - centers paint back with an L-sized scatter, not an HW gather.
     ymed2 = coord_median(0, H)
     xmed2 = coord_median(1, W)
-    med_packed = (ymed2 << 16) | xmed2
-    mp = med_packed[flat_l]
-    dy = 2 * yy.reshape(-1) - (mp >> 16)
-    dx = 2 * xx.reshape(-1) - (mp & 0xFFFF)
-    # cap at 2^15 - 2 so even the largest real key stays below the int32
-    # sentinel ((32767 << 16) | 65535 == iinfo.max would alias it)
-    d2i = jnp.minimum(dy * dy + dx * dx, (1 << 15) - 2)
     pos = jnp.arange(H * W, dtype=jnp.int32)
-    key = (d2i << 16) | pos  # NOTE: pos needs 16 bits -> H*W <= 65536
-    best = jnp.full(max_labels + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
-        jnp.where(fgf, flat_l, 0)
-    ].min(jnp.where(fgf, key, jnp.iinfo(jnp.int32).max))
-    lab_ids = jnp.arange(1, max_labels + 1, dtype=jnp.int32)
-    valid = best[1:] < jnp.iinfo(jnp.int32).max
-    center_pos = jnp.where(valid, best[1:] & 0xFFFF, 0)
+    i32max = jnp.iinfo(jnp.int32).max
+    if H * W <= (1 << 16) and H <= (1 << 15) and W <= (1 << 15):
+        # Packed one-scatter fast path (pos fits 16 bits).
+        med_packed = (ymed2 << 16) | xmed2
+        mp = med_packed[flat_l]
+        dy = 2 * yy.reshape(-1) - (mp >> 16)
+        dx = 2 * xx.reshape(-1) - (mp & 0xFFFF)
+        # cap at 2^15 - 2 so even the largest real key stays below the int32
+        # sentinel ((32767 << 16) | 65535 == iinfo.max would alias it)
+        d2i = jnp.minimum(dy * dy + dx * dx, (1 << 15) - 2)
+        key = (d2i << 16) | pos
+        best = jnp.full(max_labels + 1, i32max, jnp.int32).at[
+            jnp.where(fgf, flat_l, 0)
+        ].min(jnp.where(fgf, key, i32max))
+        lab_ids = jnp.arange(1, max_labels + 1, dtype=jnp.int32)
+        valid = best[1:] < i32max
+        center_pos = jnp.where(valid, best[1:] & 0xFFFF, 0)
+    else:
+        # Exact two-pass path for large images (pos would overflow 16 bits):
+        # scatter-min the exact int distance per label, then scatter-min the
+        # raster position among pixels achieving it. Same result (nearest
+        # pixel, ties -> first in raster order), one extra HW scatter.
+        dy = 2 * yy.reshape(-1) - ymed2[flat_l]
+        dx = 2 * xx.reshape(-1) - xmed2[flat_l]
+        d2i = dy * dy + dx * dx  # <= 4*(H^2+W^2), fits int32 to ~16k px
+        best_d2 = jnp.full(max_labels + 1, i32max, jnp.int32).at[
+            jnp.where(fgf, flat_l, 0)
+        ].min(jnp.where(fgf, d2i, i32max))
+        at_best = fgf & (d2i == best_d2[flat_l])
+        best = jnp.full(max_labels + 1, i32max, jnp.int32).at[
+            jnp.where(at_best, flat_l, 0)
+        ].min(jnp.where(at_best, pos, i32max))
+        lab_ids = jnp.arange(1, max_labels + 1, dtype=jnp.int32)
+        valid = best[1:] < i32max
+        center_pos = jnp.where(valid, best[1:], 0)
     centers = jnp.zeros(H * W, jnp.bool_).at[
         jnp.where(valid, center_pos, H * W - 1)
     ].max(valid & (lab_ids > 0))

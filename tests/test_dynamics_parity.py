@@ -141,3 +141,45 @@ def test_hole_filling_matches_oracle():
 
     oracle = fill_holes_and_remove_small(ann.astype(np.uint32), min_size=15)
     assert (filled > 0).sum() == (oracle > 0).sum()
+
+
+def _numpy_median_centers(labels: np.ndarray) -> np.ndarray:
+    """Published cellpose center definition, directly in NumPy: the object
+    pixel nearest the per-object coordinate median (ties -> first in raster
+    order)."""
+    H, W = labels.shape
+    out = np.zeros((H, W), bool)
+    for lab in range(1, int(labels.max()) + 1):
+        ys, xs = np.nonzero(labels == lab)
+        if ys.size == 0:
+            continue
+        my, mx = np.median(ys), np.median(xs)
+        d2 = (ys - my) ** 2 + (xs - mx) ** 2
+        k = int(np.argmin(d2))  # nonzero is raster-ordered -> first wins ties
+        out[ys[k], xs[k]] = True
+    return out
+
+
+@pytest.mark.parametrize("shape", [(128, 128), (293, 300)])
+def test_median_centers_both_paths(shape):
+    """label_median_centers is exact on both the packed fast path
+    (H*W <= 2^16) and the two-pass large-image path (H*W > 2^16 — the
+    regression: pos used to be masked to 16 bits, silently corrupting
+    centers on anything bigger than 256x256, e.g. the 293^2 yeast
+    monotile)."""
+    from aliby_tpu.models.flows import label_median_centers
+    from aliby_tpu.test_data import render_dense_cells
+
+    H, W = shape
+    rng = np.random.default_rng(7)
+    gt = np.zeros((H, W), np.int32)
+    sq = render_dense_cells(min(H, W), 30, rng, 4.0, 12.0)
+    gt[: sq.shape[0], : sq.shape[1]] = sq
+    # park one object in the far corner so pos > 65535 matters
+    gt[H - 6 : H - 1, W - 6 : W - 1] = gt.max() + 1
+
+    ours = np.asarray(label_median_centers(gt, max_labels=64))
+    ref = _numpy_median_centers(gt)
+    assert (ours == ref).all(), (
+        f"center mismatch at {np.argwhere(ours != ref)[:5]}"
+    )

@@ -164,3 +164,33 @@ def test_compiled_pipeline_with_tracking(tmp_path, data_dir):
         pipeline=pipeline, pipeline_name="ct", output_path=tmp_path, overwrite=True,
     )
     assert set(profiles.column("metadata_tp").to_pylist()) == {0, 1, 2}
+
+
+@pytest.mark.skipif(not BUNDLED_WEIGHTS.exists(), reason="no bundled weights")
+def test_builder_single_channel_empty_coloc(tmp_path):
+    """The builder's pair-less coloc tree (single extract channel — the
+    reference emits it too, pipe_builder.py:19-43) compiles through the
+    fused path as a 0-row feature block instead of crashing jnp.stack."""
+    import copy
+
+    from aliby_tpu.io.dataset import DatasetZarr
+    from aliby_tpu.pipe import run_pipeline_and_post
+    from aliby_tpu.pipe_builder import build_pipeline_steps
+    from aliby_tpu.test_data import get_dataset_path
+
+    pos = DatasetZarr(get_dataset_path("yeast_zarr")).get_position_ids()[0]
+    pipeline = copy.deepcopy(
+        build_pipeline_steps(
+            channels_to_segment={"cell": 0},
+            features_to_extract=("intensity",),
+        )
+    )
+    pipeline["steps"]["tile"]["image_kwargs"] = {"source": pos}
+    pipeline["ntps"] = 1
+    pipeline["compiled"] = True
+    profiles, _ = run_pipeline_and_post(
+        pipeline=pipeline, pipeline_name="p1", output_path=tmp_path,
+        overwrite=True,
+    )
+    assert profiles.num_rows > 0
+    assert any("Intensity_" in c for c in profiles.column_names)
