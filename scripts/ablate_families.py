@@ -76,19 +76,30 @@ def main():
         return dt
 
     full = list(DEFAULT_FEATURES)
-    t_full = measure(build(full))
-    print(f"FULL: {t_full * 1e3:7.1f} ms ({n_fovs / t_full:6.2f} fov/s)")
+    fused_full = build(full)
+    t_full0 = measure(fused_full)
+    print(f"FULL: {t_full0 * 1e3:7.1f} ms ({n_fovs / t_full0:6.2f} fov/s)")
 
     configs = [("minus " + f, [x for x in full if x != f], True, True) for f in full]
     configs.append(("minus sizeshape", full, False, True))
     configs.append(("minus coloc", full, True, False))
     configs.append(("segment-only floor", [], False, False))
 
+    # The tunnel drifts by hundreds of ms over a multi-minute run, so a
+    # single up-front FULL anchor produces garbage deltas (observed:
+    # removing a family "slowing" the program). Bracket every config with
+    # a fresh FULL measurement and difference against the bracket mean —
+    # drift cancels to first order.
+    t_prev = t_full0
     for name, feats, ss, co in configs:
         t = measure(build(feats, with_sizeshape=ss, with_coloc=co))
+        t_next = measure(fused_full)
+        anchor = 0.5 * (t_prev + t_next)
         print(
-            f"{name:28s}: {t * 1e3:7.1f} ms  delta {1e3 * (t_full - t):+7.1f} ms"
+            f"{name:28s}: {t * 1e3:7.1f} ms  delta {1e3 * (anchor - t):+7.1f} ms"
+            f"  (bracket FULL {t_prev * 1e3:.0f}/{t_next * 1e3:.0f})"
         )
+        t_prev = t_next
 
 
 if __name__ == "__main__":
