@@ -582,15 +582,31 @@ def radial_distribution(
     # pos — instead of a scatter-max + gather + scatter-min chain.
     flat_l = jnp.clip(labels, 0, max_labels).reshape(-1)
     fgf = (labels > 0).reshape(-1)
-    d2i = jnp.minimum(
-        jnp.round(d_edge * d_edge).astype(jnp.int32), (1 << 15) - 2
-    ).reshape(-1)
     pos = jnp.arange(H * W, dtype=jnp.int32)
-    key = ((((1 << 15) - 2) - d2i) << 16) | pos
-    best = jnp.full(max_labels + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
-        jnp.where(fgf, flat_l, 0)
-    ].min(jnp.where(fgf, key, jnp.iinfo(jnp.int32).max))[1:]
-    first = best & 0xFFFF
+    i32max = jnp.iinfo(jnp.int32).max
+    if H * W <= (1 << 16):
+        d2i = jnp.minimum(
+            jnp.round(d_edge * d_edge).astype(jnp.int32), (1 << 15) - 2
+        ).reshape(-1)
+        key = ((((1 << 15) - 2) - d2i) << 16) | pos
+        best = jnp.full(max_labels + 1, i32max, jnp.int32).at[
+            jnp.where(fgf, flat_l, 0)
+        ].min(jnp.where(fgf, key, i32max))[1:]
+        first = best & 0xFFFF
+    else:
+        # pos would overflow 16 bits (silently corrupting centers on any
+        # image over 256x256): exact two-pass — scatter-min the negated
+        # integer distance per label, then scatter-min the raster position
+        # among pixels achieving it.
+        d2i = jnp.round(d_edge * d_edge).astype(jnp.int32).reshape(-1)
+        neg_best = jnp.full(max_labels + 1, i32max, jnp.int32).at[
+            jnp.where(fgf, flat_l, 0)
+        ].min(jnp.where(fgf, -d2i, i32max))
+        at_best = fgf & (d2i == -neg_best[flat_l])
+        first = jnp.full(max_labels + 1, i32max, jnp.int32).at[
+            jnp.where(at_best, flat_l, 0)
+        ].min(jnp.where(at_best, pos, i32max))[1:]
+        first = jnp.where(first == i32max, 0, first)
     ccy = jnp.floor(first.astype(jnp.float32) / W)
     ccx = first.astype(jnp.float32) - ccy * W
     cc = table_lookup(jnp.stack([ccy, ccx], axis=-1), l_idx)

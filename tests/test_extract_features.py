@@ -295,3 +295,35 @@ def test_perimeter_exact_parity_with_skimage_algorithm():
         ref = skimage_perimeter(labels == 1)
         mine = float(np.asarray(_sizeshape(labels, 4)["AreaShape_Perimeter"])[0])
         assert abs(ref - mine) < 1e-3
+
+
+def test_radial_distribution_large_image_path():
+    """radial_distribution's most-interior-pixel center argmax used to pack
+    the raster position into 16 bits — silently corrupt on any image over
+    65536 pixels (e.g. 293x293 yeast monotiles). The large-image two-pass
+    path must agree with the (oracle-gated) packed fast path: the features
+    are translation-invariant, so embedding the same objects in a >256^2
+    canvas must reproduce the small-canvas values exactly."""
+    from aliby_tpu.extract.texture import radial_distribution
+
+    labels = _ellipse_labels()
+    rng = np.random.default_rng(3)
+    img = rng.uniform(10, 100, labels.shape).astype(np.float32)
+
+    small = {
+        k: np.asarray(v)[:2]
+        for k, v in radial_distribution(labels, img, max_labels=8).items()
+    }
+    H, W = 293, 300  # H*W > 2^16 -> two-pass path
+    big_l = np.zeros((H, W), np.int32)
+    big_i = np.zeros((H, W), np.float32)
+    oy, ox = 150, 170
+    big_l[oy : oy + labels.shape[0], ox : ox + labels.shape[1]] = labels
+    big_i[oy : oy + labels.shape[0], ox : ox + labels.shape[1]] = img
+    big = {
+        k: np.asarray(v)[:2]
+        for k, v in radial_distribution(big_l, big_i, max_labels=8).items()
+    }
+    assert small.keys() == big.keys()
+    for k in small:
+        np.testing.assert_allclose(big[k], small[k], rtol=1e-5, err_msg=k)
