@@ -100,10 +100,10 @@ def compile_fused_step(
 
     names_box: list = []
 
-    def _make_step(cap: int):
-        return jax.jit(functools.partial(_step_impl, cap))
+    def _make_step(cap: int, u8: bool):
+        return jax.jit(functools.partial(_step_impl, cap, u8))
 
-    def _step_impl(cap, params_list, pixels):
+    def _step_impl(cap, u8, params_list, pixels):
         """pixels: (F, C, Z, Y, X) float32."""
         F = pixels.shape[0]
 
@@ -164,16 +164,20 @@ def compile_fused_step(
         # Pack the outputs INSIDE the program: the tunnel-attached chip
         # pays a ~28 ms dispatch floor per jit call after any D2H, so a
         # host-side jnp.stack / jnp.concatenate would each cost a full
-        # extra dispatch. Labels fit uint16 (max_labels <= 65535) — half
-        # the readback bytes of int32 at ~80 MB/s tunnel D2H.
-        labels_pack = jnp.stack(all_labels).astype(jnp.uint16)
+        # extra dispatch. Labels read back uint8 (typical fields carry a
+        # few dozen objects — half uint16's bytes at ~80 MB/s tunnel D2H)
+        # guarded by an in-program max: the runner checks it and rebuilds
+        # uint16 (sticky) on >255-object tiles, never a wrong result.
+        labels_pack = jnp.stack(all_labels)
+        lmax = jnp.max(labels_pack).astype(jnp.int32)
+        labels_pack = labels_pack.astype(jnp.uint8 if u8 else jnp.uint16)
         feats_pack = jnp.concatenate(
             [a for per_obj in all_feats for a in per_obj], axis=0
         )
-        return labels_pack, feats_pack[..., :cap]
+        return labels_pack, feats_pack[..., :cap], lmax
 
     cap0 = min(max(1, out_labels_cap), max_labels)
-    state = {"cap": cap0, "step": _make_step(cap0)}
+    state = {"cap": cap0, "u8": True, "step": _make_step(cap0, True)}
 
     def run(pixels):
         if not isinstance(pixels, jax.Array):
@@ -184,18 +188,24 @@ def compile_fused_step(
             pixels = pixels[0]
         params_list = [obj.engine.params for obj in objects]
         pixels = jnp.asarray(pixels)
-        labels_pack, feats_pack = state["step"](params_list, pixels)
-        # two readbacks total (stack/concat happen in-program — no extra
-        # host-side dispatches): labels (uint16) + one feature block
-        labels = np.asarray(labels_pack).astype(np.int32)
-        if labels.max() > state["cap"]:
-            # realized objects exceed the readback cap: rebuild at full
-            # width and STAY there (sticky; one recompile per fused step)
-            state["cap"] = max_labels
-            state["step"] = _make_step(max_labels)
-            labels_pack, feats_pack = state["step"](params_list, pixels)
-            labels = np.asarray(labels_pack).astype(np.int32)
-        big = np.asarray(feats_pack)
+        labels_pack, feats_pack, lmax = state["step"](params_list, pixels)
+        # one readback batch (stack/concat happen in-program — no extra
+        # host-side dispatches): labels (uint8) + feature block + max
+        labels_pack, big, lmax = jax.device_get(
+            (labels_pack, feats_pack, lmax)
+        )
+        if int(lmax) > state["cap"] or (state["u8"] and int(lmax) > 255):
+            # realized objects exceed the readback cap (or the uint8 label
+            # range): rebuild at full width/uint16 and STAY there (sticky;
+            # one recompile per fused step, never a wrong result)
+            state["cap"] = max_labels if int(lmax) > state["cap"] else state["cap"]
+            state["u8"] = state["u8"] and int(lmax) <= 255
+            state["step"] = _make_step(state["cap"], state["u8"])
+            labels_pack, feats_pack, lmax = state["step"](params_list, pixels)
+            labels_pack, big, lmax = jax.device_get(
+                (labels_pack, feats_pack, lmax)
+            )
+        labels = labels_pack.astype(np.int32)
         sizes = [
             len(names_box[0][oi][ti])
             for oi, obj in enumerate(objects)

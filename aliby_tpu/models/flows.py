@@ -332,7 +332,29 @@ def follow_flows(
         # (A half-rounds + one squaring gather variant — succ^2k[p] ==
         # succ^k[succ^k[p]] — was measured SLOWER: the 1M-element gather
         # costs ~25 ms/16 images while 48 stencil rounds cost ~12 ms.)
-        key = jax.lax.fori_loop(0, n_prop, body, key)
+        # Early exit, bit-identical: key_t[p] = succ^t(p), so if a block of
+        # B rounds leaves the key unchanged (key_{t+B} == key_t pointwise)
+        # then key_{t+kB} == key_t for all k — and n_prop is a multiple of
+        # B, so stopping returns EXACTLY key_{n_prop}. Pixels converge to
+        # their sink cycle in ~(basin radius) rounds, after which periods
+        # are 1-2 (divide 6); typical fields stop after a third of the
+        # budget. Residue rounds keep the multiple-of-B invariant exact.
+        B = 6
+        for _ in range(n_prop % B):
+            key = body(0, key)
+
+        def blk_cond(state):
+            t, _, changed = state
+            return changed & (t < n_prop // B)
+
+        def blk_body(state):
+            t, key, _ = state
+            new = jax.lax.fori_loop(0, B, body, key)
+            return t + 1, new, jnp.any(new != key)
+
+        _, key, _ = jax.lax.while_loop(
+            blk_cond, blk_body, (jnp.int32(0), key, jnp.bool_(True))
+        )
         kf = key.reshape(-1)
         succ = (sy * W + sx).reshape(-1)
         start = (
@@ -425,17 +447,25 @@ def masks_from_sinks(
     corridor = hist > 2
     key_h = jnp.where(seeds, hist, _BIG_I32)
     key_i = jnp.where(seeds, idx2d, _BIG_I32)
+
+    def _lexmin3(kh, ki, axis_pairs):
+        # lexicographic min over {self, two shifted neighbors} per channel
+        nh, ni = kh, ki
+        for dy, dx in axis_pairs:
+            sh = _shift2(kh, dy, dx, _BIG_I32)
+            si = _shift2(ki, dy, dx, _BIG_I32)
+            better = (sh < nh) | ((sh == nh) & (si < ni))
+            nh = jnp.where(better, sh, nh)
+            ni = jnp.where(better, si, ni)
+        return nh, ni
+
     for _ in range(5):
-        nh, ni = key_h, key_i
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                sh = _shift2(key_h, dy, dx, _BIG_I32)
-                si = _shift2(key_i, dy, dx, _BIG_I32)
-                better = (sh < nh) | ((sh == nh) & (si < ni))
-                nh = jnp.where(better, sh, nh)
-                ni = jnp.where(better, si, ni)
+        # 3x3-window lexmin is separable (min is associative/commutative):
+        # vertical min3 then horizontal min3 — 4 shifted lex-compares per
+        # round instead of 8 (the corridor mask applies per ROUND, after
+        # the full window min, so the decomposition is exact)
+        nh, ni = _lexmin3(key_h, key_i, ((-1, 0), (1, 0)))
+        nh, ni = _lexmin3(nh, ni, ((0, -1), (0, 1)))
         key_h = jnp.where(corridor, nh, _BIG_I32)
         key_i = jnp.where(corridor, ni, _BIG_I32)
 
