@@ -62,6 +62,9 @@ def compile_fused_step(
     the realized max label on the (always full) labels readback and, on
     overflow, rebuilds at full width and stays there (one extra compile
     on pathological plates, never a wrong result)."""
+    if not (0 < max_labels <= 65535):
+        # the widest readback dtype is uint16; labels above 65535 would wrap
+        raise ValueError(f"max_labels must be in [1, 65535], got {max_labels}")
     plans = []
     for obj in objects:
         obj_plans = []

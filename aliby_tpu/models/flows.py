@@ -239,6 +239,10 @@ def follow_flows(
       neighbor shift-select key propagation, not N (or log N) gathers.
     Only 3 real gathers remain (composed key at the rounded Euler endpoint
     + 2 cycle-collapse lookups): 72 ms/16 images, masks identical.
+
+    Both ``n_iter`` and ``n_prop`` are static (jit static_argnames; the
+    residue unroll below needs a concrete Python int) — callers threading a
+    traced value get a trace-time error by design, not a silent fallback.
     """
     _, H, W = flows.shape
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)

@@ -14,19 +14,20 @@ read-modify-write accumulation is safe).
 
 Falls back to interpreter mode off-TPU (used by the CPU test suite).
 
-Status: validated on the v5e chip (numerics match the scatter formulation
-at f32 fidelity with HIGHEST-precision MXU passes) and MEASURED against
-the alternatives, amortized in-jit (8 FOVs x 256^2 x 64 cols so the
-dispatch floor cancels): scatter-add 5.2 ms, this kernel 3.5 ms, a plain
-XLA one-hot ``dot_general`` at ``Precision.HIGH`` 1.5 ms. The XLA dot
-formulation beats the hand-written kernel (better pipelining of the
-one-hot materialization); BUT inside the fused whole-step program the
-(HW, L) one-hot competes with conv workspace for HBM and regressed the
-end-to-end bench (light tree 5.3 -> 3.4 fov/s), so production
-(``reductions.seg_sum_cols``) uses the multi-column scatter, which wins
-in composition. This kernel is kept as the reference implementation of
-the matmul formulation for locally-attached / larger-VMEM parts where
-the trade-off may flip.
+Status: IN PRODUCTION since round 3 — ``reductions.seg_sum_cols`` /
+``binned_sum_cols`` route every *batched* (vmapped-over-tiles) segment
+reduction on TPU through this kernel via a ``jax.custom_batching``
+vmap rule (``extract/reductions.py``); the multi-column scatter remains
+the unbatched and CPU-backend fallback. Measured on the v5e chip: a
+single vmapped scatter costs ~9 ms at (16, 65k) -> 257 bins (the TPU
+scatter unit serializes) while this kernel streams the one-hot through
+VMEM and rides the MXU in ~0.4 ms. Numerics match the scatter
+formulation at f32 fidelity (HIGHEST-precision MXU passes). History, for
+the record: round 2 measured a plain XLA one-hot ``dot_general``
+formulation that won in isolation but regressed the fused program (the
+(HW, L) one-hot materialized in HBM and fought conv workspace); the
+Pallas kernel avoids that by building the one-hot per pixel-tile in
+VMEM, which is why it wins in composition where the XLA dot did not.
 """
 
 from __future__ import annotations
