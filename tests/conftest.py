@@ -24,13 +24,23 @@ import jax  # noqa: E402
 # not win. The config update does.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the scatter-heavy kernels (EDT, flows,
-# segment sums) take minutes to compile on the CPU backend; cache across
-# test sessions so only the first run pays.
-_cache_dir = Path.home() / ".cache" / "aliby_tpu" / "jax_cache"
-_cache_dir.mkdir(parents=True, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NO persistent compilation cache for the suite. It was tried (it saves
+# minutes of scatter-heavy CPU recompiles on re-runs) and removed twice
+# over, with evidence:
+#   1. jaxlib's cache WRITE path crashed the full suite (SIGSEGV in
+#      put_executable_and_time serializing a giant movie-mode executable
+#      — the round-3 "195/209 then exit 139").
+#   2. Worse, a cache HIT is not numerically hermetic: XLA:CPU
+#      deserializes through cpu_aot_loader with DIFFERENT codegen
+#      (target features +prefer-no-scatter/+prefer-no-gather) than the
+#      in-memory JIT path, so a cached run computes slightly different
+#      floats than a cold run — observed here as the CPnet forward
+#      producing a different flow field and the dynamics-parity gates
+#      flipping between pass (cold) and fail (warm). Machine-keyed cache
+#      directories cannot fix that: the writer and the reader are the
+#      SAME host.
+# Cold-compile cost is the price of a suite whose numbers mean the same
+# thing on every run.
 
 import pytest  # noqa: E402
 
