@@ -27,6 +27,136 @@ import jax.numpy as jnp
 from aliby_tpu.ops.labels import relabel_dense
 
 
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _bcast(x, axis_size, batched):
+    return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _propagate_keys(n_prop: int, block: int):
+    """Successor-map key propagation with a custom vmap rule.
+
+    Unbatched (and the CPU test suite): the blocked-early-exit XLA stencil
+    loop below. Batched on TPU: the VMEM-resident Pallas kernel
+    (``ops.pallas_stencil.successor_prop``) — one kernel holds the key in
+    VMEM for all ``n_prop`` rounds instead of round-tripping HBM per
+    round. Both compute exactly key_{n_prop} (the early exit is exact:
+    a fixed point of a block of rounds stays fixed)."""
+
+    def _xla(dcode, key):
+        H, W = key.shape
+
+        def shift_i(T, dy, dx):
+            p = jnp.pad(T, 1, constant_values=0)
+            return p[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+
+        def body(_, key):
+            new = key
+            k = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        k += 1
+                        continue
+                    new = jnp.where(dcode == k, shift_i(key, dy, dx), new)
+                    k += 1
+            return new
+
+        for _ in range(n_prop % block):
+            key = body(0, key)
+
+        def blk_cond(state):
+            t, _, changed = state
+            return changed & (t < n_prop // block)
+
+        def blk_body(state):
+            t, key, _ = state
+            new = jax.lax.fori_loop(0, block, body, key)
+            return t + 1, new, jnp.any(new != key)
+
+        _, key, _ = jax.lax.while_loop(
+            blk_cond, blk_body, (jnp.int32(0), key, jnp.bool_(True))
+        )
+        return key
+
+    @jax.custom_batching.custom_vmap
+    def f(dcode, key):
+        return _xla(dcode, key)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, dcode, key):
+        dcode = _bcast(dcode, axis_size, in_batched[0])
+        key = _bcast(key, axis_size, in_batched[1])
+        if _on_tpu():
+            from aliby_tpu.ops.pallas_stencil import successor_prop
+
+            out = successor_prop(dcode, key, n_prop=n_prop, block=block)
+        else:
+            out = jax.vmap(_xla)(dcode, key)
+        return out, True
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _diffuse(n_iter: int):
+    """Masked 3x3 heat diffusion with a custom vmap rule (same split:
+    XLA loop unbatched/CPU, ``ops.pallas_stencil.diffuse_heat`` batched on
+    TPU). Returns the heat field T after ``n_iter`` rounds of cellpose's
+    center-source diffusion with absorbing same-label boundaries."""
+
+    def _xla(labels, source):
+        H, W = labels.shape
+        fg = labels > 0
+        offsets = [
+            (dy, dx)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)
+        ]
+        l_pad = jnp.pad(labels, 1, constant_values=-1)
+        same = [
+            (
+                l_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx] == labels
+            ).astype(jnp.float32)
+            for dy, dx in offsets
+        ]
+
+        def _shift(T, dy, dx):
+            t_pad = jnp.pad(T, 1)
+            return t_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+
+        def body(_, T):
+            T = T + source
+            acc = T
+            for (dy, dx), m in zip(offsets, same):
+                acc = acc + _shift(T, dy, dx) * m
+            return jnp.where(fg, acc / 9.0, 0.0)
+
+        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((H, W), jnp.float32))
+
+    @jax.custom_batching.custom_vmap
+    def f(labels, source):
+        return _xla(labels, source)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, labels, source):
+        labels = _bcast(labels, axis_size, in_batched[0])
+        source = _bcast(source, axis_size, in_batched[1])
+        if _on_tpu():
+            from aliby_tpu.ops.pallas_stencil import diffuse_heat
+
+            out = diffuse_heat(labels, source, n_iter=n_iter)
+        else:
+            out = jax.vmap(_xla)(labels, source)
+        return out, True
+
+    return f
+
+
 @functools.partial(jax.jit, static_argnames=("n_iter", "max_labels"))
 def label_median_centers(
     labels: jnp.ndarray, max_labels: int = 512, n_iter: int = 0
@@ -163,14 +293,10 @@ def masks_to_flows(
         t_pad = jnp.pad(T, 1)
         return t_pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
 
-    def body(_, T):
-        T = T + source
-        acc = T
-        for (dy, dx), m in zip(offsets, same):
-            acc = acc + _shift(T, dy, dx) * m
-        return jnp.where(fg, acc / 9.0, 0.0)
-
-    T = jax.lax.fori_loop(0, n_iter, body, jnp.zeros((H, W), jnp.float32))
+    # diffusion loop: ONE VMEM-resident Pallas kernel under vmap on TPU
+    # (ops.pallas_stencil.diffuse_heat), the XLA fori_loop otherwise; the
+    # `same` masks above are reused by the gradient below either way
+    T = _diffuse(n_iter)(labels, source)
     logT = jnp.log1p(T)
 
     def grad_axis(dy, dx):
@@ -301,37 +427,35 @@ def follow_flows(
     if n_prop > 0:
         yi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
         xi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-        # one rounded unit step, clamped to the 3x3 neighborhood (unit-flow
-        # fields stay within it anyway) so the propagation select and the
+        # Successor map from the UNIT-NORMALIZED direction field. GT
+        # training flows are unit by construction, so this is a no-op
+        # there — but network-predicted flows have sub-unit magnitude in
+        # basin interiors (the regression target tapers near sinks), and
+        # rounding the RAW flow stalls any pixel with |f| < 0.5,
+        # fragmenting basins. Cellpose's 200 small Euler steps accumulate
+        # sub-unit motion instead (dynamics.steps2D_interp); composing
+        # unit steps along the direction field reaches the same sinks.
+        # Pixels with genuinely negligible flow (< 0.02, i.e. < 4 px total
+        # motion under cellpose's 200-step budget) stay put — they ARE the
+        # sink plateau.
+        fmag = jnp.sqrt(fy * fy + fx * fx)
+        finv = jnp.where(fmag > 0.02, 1.0 / jnp.maximum(fmag, 1e-20), 0.0)
+        uy, ux = fy * finv, fx * finv
+        # one rounded unit step, clamped to the 3x3 neighborhood (unit
+        # steps stay within it anyway) so the propagation select and the
         # cycle-collapse lookups walk the SAME successor map
         dy1 = jnp.clip(
-            jnp.round(jnp.clip(yy + fy, 0.0, H - 1.0)).astype(jnp.int32) - yi,
+            jnp.round(jnp.clip(yy + uy, 0.0, H - 1.0)).astype(jnp.int32) - yi,
             -1, 1,
         )
         dx1 = jnp.clip(
-            jnp.round(jnp.clip(xx + fx, 0.0, W - 1.0)).astype(jnp.int32) - xi,
+            jnp.round(jnp.clip(xx + ux, 0.0, W - 1.0)).astype(jnp.int32) - xi,
             -1, 1,
         )
         sy = yi + dy1
         sx = xi + dx1
         dcode = (dy1 + 1) * 3 + (dx1 + 1)
         key = yi * W + xi
-
-        def shift_i(T, dy, dx):
-            p = jnp.pad(T, 1, constant_values=0)
-            return p[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
-
-        def body(_, key):
-            new = key
-            k = 0
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if dy == 0 and dx == 0:
-                        k += 1
-                        continue
-                    new = jnp.where(dcode == k, shift_i(key, dy, dx), new)
-                    k += 1
-            return new
 
         # (A half-rounds + one squaring gather variant — succ^2k[p] ==
         # succ^k[succ^k[p]] — was measured SLOWER: the 1M-element gather
@@ -343,22 +467,10 @@ def follow_flows(
         # their sink cycle in ~(basin radius) rounds, after which periods
         # are 1-2 (divide 6); typical fields stop after a third of the
         # budget. Residue rounds keep the multiple-of-B invariant exact.
-        B = 6
-        for _ in range(n_prop % B):
-            key = body(0, key)
-
-        def blk_cond(state):
-            t, _, changed = state
-            return changed & (t < n_prop // B)
-
-        def blk_body(state):
-            t, key, _ = state
-            new = jax.lax.fori_loop(0, B, body, key)
-            return t + 1, new, jnp.any(new != key)
-
-        _, key, _ = jax.lax.while_loop(
-            blk_cond, blk_body, (jnp.int32(0), key, jnp.bool_(True))
-        )
+        # Under vmap on TPU the rounds run inside ONE VMEM-resident Pallas
+        # kernel (ops.pallas_stencil.successor_prop) instead of
+        # round-tripping HBM per round; unbatched/CPU keeps the XLA loop.
+        key = _propagate_keys(n_prop, 6)(dcode, key)
         kf = key.reshape(-1)
         succ = (sy * W + sx).reshape(-1)
         start = (
