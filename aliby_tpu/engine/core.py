@@ -314,11 +314,13 @@ def run_pipeline_return_state(
             )
             if use_movie:
                 # whole-movie batching (SURVEY §5.7): chunked T-batched
-                # fused dispatches + scan-over-T tracking
+                # fused dispatches + scan-over-T tracking. "movie_chunk"
+                # overrides the device-RAM-budget auto-sizing (used by
+                # tests to force cross-chunk carries + last-chunk padding)
                 t0 = _time.perf_counter()
                 compiled.run_movie(
                     range(ntps), tiler, state, pipeline, steps_dir,
-                    monitor=monitor,
+                    monitor=monitor, chunk=pipeline.get("movie_chunk"),
                 )
                 state["timer"].add(
                     "compiled_movie", _time.perf_counter() - t0

@@ -182,7 +182,12 @@ def compile_fused_step(
     cap0 = min(max(1, out_labels_cap), max_labels)
     state = {"cap": cap0, "u8": True, "step": _make_step(cap0, True)}
 
-    def run(pixels):
+    def dispatch(pixels):
+        """Phase 1: enqueue the fused program; returns an async handle.
+
+        JAX dispatch is asynchronous — the device computes while the host
+        does other work (the mesh runner books tp-1's results during tp's
+        device time). ``collect`` blocks on the handle's buffers only."""
         if not isinstance(pixels, jax.Array):
             # keep device arrays as-is: the mesh runner device_puts the
             # stacked batch with a dp-sharded layout before calling
@@ -192,6 +197,12 @@ def compile_fused_step(
         params_list = [obj.engine.params for obj in objects]
         pixels = jnp.asarray(pixels)
         labels_pack, feats_pack, lmax = state["step"](params_list, pixels)
+        return pixels, labels_pack, feats_pack, lmax
+
+    def collect(handle):
+        """Phase 2: read back + unpack one dispatch's results."""
+        pixels, labels_pack, feats_pack, lmax = handle
+        params_list = [obj.engine.params for obj in objects]
         # one readback batch (stack/concat happen in-program — no extra
         # host-side dispatches): labels (uint8) + feature block + max
         labels_pack, big, lmax = jax.device_get(
@@ -230,7 +241,12 @@ def compile_fused_step(
             out_feats.append(per_obj)
         return {"labels": list(labels), "features": out_feats}
 
+    def run(pixels):
+        return collect(dispatch(pixels))
+
     run.plans = plans
+    run.dispatch = dispatch
+    run.collect = collect
     return run
 
 

@@ -100,8 +100,29 @@ def run_positions_mesh(
         # nested map can deadlock a bounded pool)
         return [pool.submit(lambda e=e: e["tiler"].run_tp(tp)) for e in entries]
 
+    def bookkeep_tp(tp, tile_results, out, F):
+        # split results back per position; bookkeeping is independent
+        # per position (own state dict, own steps_dir)
+        def bookkeep(i, e):
+            sl = slice(i * F, (i + 1) * F)
+            per_pos = {
+                "labels": [lbl[sl] for lbl in out["labels"]],
+                "features": [
+                    [(names, arr[:, sl]) for names, arr in per_obj]
+                    for per_obj in out["features"]
+                ],
+            }
+            steps_dir = output_path / "steps" / e["pos"]["key"]
+            compiled.run_tp(
+                tp, e["tiler"], e["state"], e["pipeline"], steps_dir,
+                tile_result=tile_results[i], out=per_pos,
+            )
+
+        list(pool.map(lambda ie: bookkeep(*ie), enumerate(entries)))
+
     try:
         io_futs = submit_io(0)
+        pending = None  # (tp, tile_results, handle, F) awaiting readback
         for tp in range(ntps):
             tile_results = [f.result() for f in io_futs]
             pixel_blocks = [tr.pop("pixels") for tr in tile_results]
@@ -122,29 +143,20 @@ def run_positions_mesh(
                     [flat, np.repeat(flat[:1], pad, axis=0)], axis=0
                 )
             flat = jax.device_put(flat, sharding)
+            # ONE sharded async dispatch for all positions; tp-1's
+            # bookkeeping (and tp+1's IO) then overlap tp's device time —
+            # the host only blocks on tp's buffers at the NEXT iteration's
+            # collect (engine/fused.py dispatch/collect split)
+            handle = compiled.fused.dispatch(flat)
             if tp + 1 < ntps:
-                io_futs = submit_io(tp + 1)  # overlaps the fused dispatch
-            out = compiled.fused(flat)  # ONE sharded dispatch for all positions
-            # split results back per position; bookkeeping is independent
-            # per position (own state dict, own steps_dir) -> thread it
-            F = n_tiles[0]
-
-            def bookkeep(i, e):
-                sl = slice(i * F, (i + 1) * F)
-                per_pos = {
-                    "labels": [lbl[sl] for lbl in out["labels"]],
-                    "features": [
-                        [(names, arr[:, sl]) for names, arr in per_obj]
-                        for per_obj in out["features"]
-                    ],
-                }
-                steps_dir = output_path / "steps" / e["pos"]["key"]
-                compiled.run_tp(
-                    tp, e["tiler"], e["state"], e["pipeline"], steps_dir,
-                    tile_result=tile_results[i], out=per_pos,
-                )
-
-            list(pool.map(lambda ie: bookkeep(*ie), enumerate(entries)))
+                io_futs = submit_io(tp + 1)
+            if pending is not None:
+                p_tp, p_tiles, p_handle, p_F = pending
+                bookkeep_tp(p_tp, p_tiles, compiled.fused.collect(p_handle), p_F)
+            pending = (tp, tile_results, handle, n_tiles[0])
+        if pending is not None:
+            p_tp, p_tiles, p_handle, p_F = pending
+            bookkeep_tp(p_tp, p_tiles, compiled.fused.collect(p_handle), p_F)
 
         results = {}
         for e, prof in zip(

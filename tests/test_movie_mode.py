@@ -12,8 +12,12 @@ import numpy as np
 import pytest
 
 
-def _yeast_pipeline(position, movie: bool, ntps: int = 3) -> dict:
+def _yeast_pipeline(
+    position, movie: bool, ntps: int = 3, chunk: int | None = None
+) -> dict:
+    extra = {"movie_chunk": chunk} if chunk else {}
     return {
+        **extra,
         "steps": {
             "tile": {
                 "tile_size": None,
@@ -49,23 +53,30 @@ def _yeast_pipeline(position, movie: bool, ntps: int = 3) -> dict:
     }
 
 
-@pytest.mark.parametrize("chunked", [False])
+@pytest.mark.parametrize("chunked", [False, True])
 def test_movie_identical_to_per_tp(tmp_path, data_dir, chunked):
+    """chunked=True forces movie_chunk=3 at ntps=4 (the yeast_zarr fixture's
+    full T), driving the cross-chunk tracker-state carry AND the last-chunk
+    padding (second chunk holds 1 real tp + 2 repeated-frame pads,
+    ``engine/compiled.py`` run_movie) through the FULL pipeline — VERDICT
+    r3 item 5 (previously unit-tested at tracker level only)."""
     from aliby_tpu.io.dataset import DatasetZarr
     from aliby_tpu.pipe import run_pipeline_and_post
     from aliby_tpu.test_data import get_dataset_path
 
     root = get_dataset_path("yeast_zarr")
     position = DatasetZarr(root).get_position_ids()[0]
+    ntps = 4 if chunked else 3
+    chunk = 3 if chunked else None
 
     prof_seq, _ = run_pipeline_and_post(
-        pipeline=_yeast_pipeline(position, movie=False),
+        pipeline=_yeast_pipeline(position, movie=False, ntps=ntps),
         pipeline_name="seq",
         output_path=tmp_path / "seq",
         overwrite=True,
     )
     prof_mov, _ = run_pipeline_and_post(
-        pipeline=_yeast_pipeline(position, movie=True),
+        pipeline=_yeast_pipeline(position, movie=True, ntps=ntps, chunk=chunk),
         pipeline_name="mov",
         output_path=tmp_path / "mov",
         overwrite=True,
