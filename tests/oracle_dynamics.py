@@ -15,10 +15,12 @@ Cellpose dynamics (Stringer et al., Nat. Methods 2021) —
    foreground pixel is labeled by the seed region its converged position
    falls in; masks covering > 40% of the image are dropped.
 3. ``flow_error_qc``: recompute flows from the candidate masks (heat
-   diffusion from object centers — the aliby-tpu trainer's definition,
-   which matches cellpose's up to the unit-normalization convention used
-   throughout this repo) and drop masks whose mean squared flow error
-   exceeds the threshold (cellpose flow_threshold, default 0.4).
+   diffusion from object centers in the UPSTREAM shape — per-object
+   bounding-box crops with size-scaled iteration counts, cellpose
+   ``dynamics.masks_to_flows_cpu`` — sharing neither code nor the
+   production path's fixed whole-image iteration budget) and drop masks
+   whose mean squared flow error exceeds the threshold (cellpose
+   flow_threshold, default 0.4).
 4. ``fill_holes_and_remove_small``: per-mask binary hole filling + minimum
    size, cellpose ``utils.fill_holes_and_remove_small_masks`` behavior.
 
@@ -132,46 +134,78 @@ def _same_label_shift_np(arr, labels, dy, dx):
     return np.where(sl == labels, sh, np.nan)
 
 
-def masks_to_flows_oracle(labels: np.ndarray, n_iter: int = 96) -> np.ndarray:
+def masks_to_flows_oracle(
+    labels: np.ndarray, n_iter: int | None = None
+) -> np.ndarray:
     """Unit flow field by heat diffusion from each object's median-center
-    pixel (the published cellpose training-target definition: per
-    iteration the center gains +1, every object pixel becomes the mean of
-    its 3x3 neighborhood with absorbing zero boundaries outside the
-    object; flows are the unit-normalized gradient of log1p(heat)).
-    NumPy-only so flow_error_qc shares no code with the production path."""
+    pixel — the published cellpose training-target construction in its
+    UPSTREAM shape (``dynamics.masks_to_flows_cpu``): each object is
+    processed on its own padded bounding-box crop with a SIZE-SCALED
+    iteration count ``niter_i = 2 * (ptp(y) + ptp(x))``, per iteration the
+    center gains +1 and every object pixel becomes the mean of its 3x3
+    neighborhood with absorbing zero boundaries outside the object; flows
+    are the unit-normalized gradient of log1p(heat).
+
+    NumPy-only and per-object-cropped so ``flow_error_qc`` shares NEITHER
+    code NOR the production path's fixed whole-image iteration budget
+    (``models/flows.masks_to_flows`` uses a fixed ``n_iter=96`` for static
+    jit shapes; PARITY.md documents that budget's convergence bound — this
+    oracle independently validates it instead of assuming it). Pass
+    ``n_iter`` to force a fixed count (legacy behavior for targeted tests).
+    """
     H, W = labels.shape
     labels = labels.astype(np.int64)
     fg = labels > 0
-    # center = object pixel closest to the coordinate median, first in
-    # raster order on ties (cellpose's np.argmin over the pixel list)
-    source = np.zeros((H, W), bool)
-    for i in np.unique(labels[fg]):
-        ys, xs = np.nonzero(labels == i)
-        ymed, xmed = np.median(ys), np.median(xs)
-        k = int(np.argmin((ys - ymed) ** 2 + (xs - xmed) ** 2))
-        source[ys[k], xs[k]] = True
-
-    T = np.zeros((H, W))
-    src = source.astype(np.float64)
+    gy = np.zeros((H, W))
+    gx = np.zeros((H, W))
     offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
             if (dy, dx) != (0, 0)]
-    for _ in range(n_iter):
-        T = T + src
-        acc = T.copy()
-        for dy, dx in offs:
-            nb = _same_label_shift_np(T, labels, dy, dx)
-            acc += np.where(np.isnan(nb), 0.0, nb)
-        T = np.where(fg, acc / 9.0, 0.0)
-    logT = np.log1p(T)
+    for i in np.unique(labels[fg]):
+        ys, xs = np.nonzero(labels == i)
+        # padded crop (pad 2 so every object pixel has in-crop neighbors
+        # even at the image border; out-of-image rows simply read as
+        # background = absorbing, identical to upstream's +1 pad)
+        y0, y1 = max(int(ys.min()) - 2, 0), min(int(ys.max()) + 3, H)
+        x0, x1 = max(int(xs.min()) - 2, 0), min(int(xs.max()) + 3, W)
+        sel = (labels[y0:y1, x0:x1] == i)
+        cys, cxs = ys - y0, xs - x0
+        # center = object pixel closest to the coordinate median, first in
+        # raster order on ties (cellpose's np.argmin over the pixel list)
+        ymed, xmed = np.median(cys), np.median(cxs)
+        k = int(np.argmin((cys - ymed) ** 2 + (cxs - xmed) ** 2))
+        src = np.zeros(sel.shape)
+        src[cys[k], cxs[k]] = 1.0
+        ni = int(n_iter) if n_iter else 2 * int(np.ptp(ys) + np.ptp(xs)) + 2
+        ch, cw = sel.shape
+        T = np.zeros(sel.shape)
+        for _ in range(ni):
+            T = T + src
+            acc = T.copy()
+            for dy, dx in offs:
+                a = np.pad(T, 1)
+                s = np.pad(sel, 1)
+                nbv = a[1 + dy : ch + 1 + dy, 1 + dx : cw + 1 + dx]
+                nbs = s[1 + dy : ch + 1 + dy, 1 + dx : cw + 1 + dx]
+                acc += np.where(nbs, nbv, 0.0)
+            T = np.where(sel, acc / 9.0, 0.0)
+        logT = np.log1p(T)
 
-    def grad_axis(dy, dx):
-        plus = _same_label_shift_np(logT, labels, dy, dx)
-        minus = _same_label_shift_np(logT, labels, -dy, -dx)
-        plus = np.where(np.isnan(plus), 0.0, plus)
-        minus = np.where(np.isnan(minus), 0.0, minus)
-        return (plus - minus) / 2.0
+        def grad_axis(dy, dx):
+            a = np.pad(logT, 1)
+            s = np.pad(sel, 1)
+            plus = np.where(
+                s[1 + dy : ch + 1 + dy, 1 + dx : cw + 1 + dx],
+                a[1 + dy : ch + 1 + dy, 1 + dx : cw + 1 + dx], 0.0,
+            )
+            minus = np.where(
+                s[1 - dy : ch + 1 - dy, 1 - dx : cw + 1 - dx],
+                a[1 - dy : ch + 1 - dy, 1 - dx : cw + 1 - dx], 0.0,
+            )
+            return (plus - minus) / 2.0
 
-    gy, gx = grad_axis(1, 0), grad_axis(0, 1)
+        cgy, cgx = grad_axis(1, 0), grad_axis(0, 1)
+        gy[ys, xs] = cgy[cys, cxs]
+        gx[ys, xs] = cgx[cys, cxs]
     mag = np.sqrt(gy**2 + gx**2)
     gy = np.where(fg, gy / np.maximum(mag, 1e-20), 0.0)
     gx = np.where(fg, gx / np.maximum(mag, 1e-20), 0.0)
