@@ -203,6 +203,11 @@ class CompiledStep:
                 )
                 state["data"].setdefault(ext_name, []).append(res)
                 state["tps"][ext_name] = tp + 1
+                # pre-format this tp's wide profile table now (bookkeeping
+                # overlaps device time) instead of in the finalize tail
+                from aliby_tpu.engine.core import cache_profile_table
+
+                cache_profile_table(state, pipeline, ext_name)
         for tr_name, (src, tracker) in self.trackers.items():
             if tracker_override is not None and tr_name in tracker_override:
                 result = tracker_override[tr_name]

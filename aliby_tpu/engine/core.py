@@ -379,32 +379,14 @@ def get_profiles_from_state(state: dict, pipeline: dict) -> pa.Table:
         if s.startswith("extract") or s.startswith("nahual_embed") or s.startswith("embed")
     ]
     per_prefix: dict[str, list] = {s.split("_")[0]: [] for s in feature_steps}
+    cache = state.get("profile_tables") or {}
     for step_name in feature_steps:
         prefix = step_name.split("_")[0]
         for tp, output in enumerate(state["data"].get(step_name, [])):
-            if isinstance(output, np.ndarray):
-                # embedder arrays: wrap as a single (instructions, metrics)
-                # pair so the strict zip in format_extraction accepts them
-                # (the reference's PR #20 regression contract)
-                output = ((("__", "__"),), (output,))
-            if isinstance(output, tuple) and len(output) == 3:
-                from aliby_tpu.extract.extract import format_extraction_overlap
-
-                table = format_extraction_overlap(output)
-            else:
-                table = format_extraction(output)
-                renames = {"tile": "metadata_tile", "label": "metadata_label"}
-                table = table.rename_columns(
-                    [renames.get(c, c) for c in table.column_names]
-                )
-            if len(table):
-                table = table.append_column(
-                    "metadata_object",
-                    pa.array([step_name.split("_")[-1]] * len(table), pa.string()),
-                )
-                table = table.append_column(
-                    "metadata_tp", pa.array([tp] * len(table), pa.uint8())
-                )
+            table = cache.get((step_name, tp))
+            if table is None:
+                table = _format_profile_table(step_name, tp, output)
+            if table is not False:
                 per_prefix[prefix].append(table)
 
     wide_tables = [
@@ -416,10 +398,87 @@ def get_profiles_from_state(state: dict, pipeline: dict) -> pa.Table:
         return empty
     profiles = wide_tables[0]
     for table in wide_tables[1:]:
-        profiles = profiles.join(
-            table, keys=[f"metadata_{k}" for k in ("tp", "tile", "object", "label")]
+        profiles = _join_on_metadata(
+            profiles, table,
+            [f"metadata_{k}" for k in ("tp", "tile", "object", "label")],
         )
     return profiles
+
+
+def _format_profile_table(step_name: str, tp: int, output):
+    """One (feature step, tp) output -> its decorated wide table, or
+    ``False`` when the tp produced no rows (pyarrow tables are ambiguous in
+    bool context, so None stays the cache-miss sentinel)."""
+    if isinstance(output, np.ndarray):
+        # embedder arrays: wrap as a single (instructions, metrics)
+        # pair so the strict zip in format_extraction accepts them
+        # (the reference's PR #20 regression contract)
+        output = ((("__", "__"),), (output,))
+    if isinstance(output, tuple) and len(output) == 3:
+        from aliby_tpu.extract.extract import format_extraction_overlap
+
+        table = format_extraction_overlap(output)
+    else:
+        table = format_extraction(output)
+        renames = {"tile": "metadata_tile", "label": "metadata_label"}
+        table = table.rename_columns(
+            [renames.get(c, c) for c in table.column_names]
+        )
+    if not len(table):
+        return False
+    table = table.append_column(
+        "metadata_object",
+        pa.array([step_name.split("_")[-1]] * len(table), pa.string()),
+    )
+    table = table.append_column(
+        "metadata_tp", pa.array([tp] * len(table), pa.uint8())
+    )
+    return table
+
+
+def cache_profile_table(state: dict, pipeline: dict, step_name: str) -> None:
+    """Format the LATEST tp's profile table for ``step_name`` now and stash
+    it under ``state["profile_tables"][(step, tp)]`` so the finalize tail
+    (``get_profiles_from_state``) doesn't pay ~10-30 ms per (step, tp) of
+    wide-table building AFTER the device has gone idle — callers invoke
+    this from bookkeeping that overlaps device time (the mesh runner).
+
+    Skipped when retain trims this step's history: get_profiles_from_state
+    numbers tps by list index, so trimmed histories would mis-key the
+    cache."""
+    keep = pipeline.get("retain", {}).get(step_name, "all")
+    if isinstance(keep, int):
+        return
+    history = state["data"].get(step_name)
+    if not history:
+        return
+    tp = len(history) - 1
+    cache = state.setdefault("profile_tables", {})
+    cache[(step_name, tp)] = _format_profile_table(step_name, tp, history[-1])
+
+
+def _join_on_metadata(left: pa.Table, right: pa.Table, keys: list[str]) -> pa.Table:
+    """Left-outer join on the (unique-keyed) metadata columns, by direct
+    key alignment instead of ``pa.Table.join``: acero rebuilds every column
+    of the 600+-column left table through its hash-join pipeline (~1 s per
+    position on a small host — it dominated the mesh runner's finalize
+    tail), while aligning the handful of right-side columns and appending
+    them is O(right columns). Left row order is preserved (acero's is
+    arbitrary; downstream sorts either way)."""
+    key_of = lambda t: zip(*(t.column(k).to_pylist() for k in keys))  # noqa: E731
+    row_of = {}
+    for i, kt in enumerate(key_of(right)):
+        if kt in row_of:
+            # duplicate right keys would need true join semantics
+            return left.join(right, keys=keys)
+        row_of[kt] = i
+    idx = pa.array(
+        [row_of.get(kt) for kt in key_of(left)], pa.int64()
+    )  # None -> null -> take yields null (left-outer semantics)
+    picked = right.drop_columns(keys).take(idx)
+    for name, col in zip(picked.column_names, picked.columns):
+        left = left.append_column(name, col)
+    return left
 
 
 # ---------------------------------------------------------------------------

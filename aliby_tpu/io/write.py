@@ -20,7 +20,11 @@ import pyarrow.parquet as pq
 
 
 def dispatch_write_fn(step_name: str):
-    if step_name.startswith(("segment", "tile")):
+    """Reference: ``io/write.py:8-22`` (segment/tile -> npz, trackastra ->
+    parquet, anything else unsupported). Here per-tp ``track`` results
+    ({"labels": [...], "max_label": [...]}) also save as npz — the
+    reference raises "not supported yet" for them."""
+    if step_name.startswith(("segment", "tile", "track")):
         return write_ndarray
     return write_parquet
 

@@ -129,11 +129,14 @@ def _bench_mesh_runner(build_workload, n_fovs, file=sys.stderr):
     from aliby_tpu.parallel.pipeline_mesh import run_positions_mesh
     from aliby_tpu.test_data import _write_tiff
 
-    # a 3-timepoint plate: steady state, not a single-dispatch tail — at
-    # ntps=1 the per-run fixed costs (position setup, first-tp IO with
+    # a 12-timepoint plate: steady state, not a single-dispatch tail —
+    # at ntps=1 the per-run fixed costs (position setup, first-tp IO with
     # nothing to prefetch against, per-position parquet finalize) are all
-    # charged to 8 fov-tps and the IO-overlap machinery never engages.
-    ntps = 3
+    # charged to 8 fov-tps and neither the IO-overlap machinery nor the
+    # T-chunked dispatch (auto: 3 chunks x 4 tps x 8 positions = 32-tile
+    # fused programs) ever engages. Real plate screens run hundreds of
+    # (position, tp) units; 96 is the smallest steady-state sample.
+    ntps = 12
     root = Path(tempfile.mkdtemp(prefix="bench_plate_"))
     fovs = build_workload(n_fovs, seed=11)
     rng = np.random.default_rng(5)
@@ -357,6 +360,7 @@ def main():
     # .run_positions_mesh with dp=<device count> on real hardware: 8
     # synthetic positions as a TIFF plate, end-to-end (tiler IO + sharded
     # fused dispatch + per-position bookkeeping + profiles).
+    mesh_fovs = None
     try:
         mesh_fovs = _bench_mesh_runner(build_workload, n_fovs, file=sys.stderr)
         if mesh_fovs:
@@ -368,20 +372,46 @@ def main():
             )
     except Exception as e:
         print(f"# mesh bench unavailable: {e}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "fov_tp_per_s_fullbank",
-                "value": round(fov_tp_per_s, 3),
-                "unit": (
-                    "fov-timepoints/s (2x segment + FULL default feature bank"
-                    " + coloc, 256x256 5ch); vs_baseline is vs MEASURED"
-                    " in-kind single-CORE CPU reference-workalike (0.129)"
-                ),
-                "vs_baseline": round(fov_tp_per_s / BASELINE_FOV_TP_PER_S, 2),
-            }
+    # The HEADLINE is the PRODUCTION path: run_positions_mesh end-to-end
+    # (discovery + tiler IO + sharded fused dispatch + per-position
+    # bookkeeping + parquet), NOT the direct fused-step number — the code a
+    # user actually runs is what gets scored. Direct stays on stderr above.
+    if mesh_fovs:
+        print(
+            json.dumps(
+                {
+                    "metric": "fov_tp_per_s_fullbank_mesh",
+                    "value": round(mesh_fovs, 3),
+                    "unit": (
+                        "fov-timepoints/s END-TO-END through"
+                        " run_positions_mesh (2x segment + FULL default"
+                        " feature bank + coloc, 256x256 5ch, TIFF plate IO"
+                        " + parquet included); vs_baseline is vs MEASURED"
+                        " in-kind single-CORE CPU reference-workalike"
+                        " (0.129)"
+                    ),
+                    "vs_baseline": round(mesh_fovs / BASELINE_FOV_TP_PER_S, 2),
+                }
+            )
         )
-    )
+    else:
+        print(
+            json.dumps(
+                {
+                    "metric": "fov_tp_per_s_fullbank",
+                    "value": round(fov_tp_per_s, 3),
+                    "unit": (
+                        "fov-timepoints/s (2x segment + FULL default feature"
+                        " bank + coloc, 256x256 5ch); vs_baseline is vs"
+                        " MEASURED in-kind single-CORE CPU"
+                        " reference-workalike (0.129)"
+                    ),
+                    "vs_baseline": round(
+                        fov_tp_per_s / BASELINE_FOV_TP_PER_S, 2
+                    ),
+                }
+            )
+        )
 
 
 def main_dense():

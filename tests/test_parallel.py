@@ -140,3 +140,116 @@ def test_run_positions_mesh_fallback(tmp_path, data_dir):
         capture_order="TCZYX", mesh=make_mesh(8), overwrite=True,
     )
     assert set(results) == {"pos1", "pos2"}
+
+
+def _tracked_mesh_pipeline(ntps: int) -> dict:
+    """Fused-eligible pipeline WITH a stitch tracker, for the chunked mesh."""
+    return {
+        "steps": {
+            "tile": {"tile_size": None, "track_drift": False},
+            "segment_cell": {
+                "segmenter_kwargs": {"kind": "cellpose", "min_size": 8},
+                "channel_to_segment": 1,
+            },
+            "track": {"kind": "stitch"},
+            "extract_cell": {
+                "tree": {"None": {"None": ["area"]}, 1: {"max": ["mean"]}},
+                "kwargs": {},
+            },
+        },
+        "passed_data": {
+            "track": [("masks", "segment_cell")],
+            "extract_cell": [("masks", "segment_cell"), ("pixels", "tile")],
+        },
+        "passed_methods": {"segment_cell": ("tile", "get_fczyx")},
+        "save": ["track"],
+        "save_interval": 1,
+        "ntps": ntps,
+    }
+
+
+def _assert_tables_equal(a, b):
+    import numpy as np
+
+    assert a.column_names == b.column_names
+    assert a.num_rows == b.num_rows
+    for name in a.column_names:
+        va, vb = a.column(name).to_pylist(), b.column(name).to_pylist()
+        try:
+            fa, fb = np.asarray(va, float), np.asarray(vb, float)
+        except (ValueError, TypeError):
+            assert va == vb, f"column {name} differs"
+            continue
+        both_nan = np.isnan(fa) & np.isnan(fb)
+        assert (both_nan | (fa == fb)).all(), f"column {name} differs"
+
+
+def _dense_movie_plate(root, n_pos: int = 2, ntps: int = 4, size: int = 128):
+    """A TIFF plate the flagship actually SEGMENTS at every tp (the yeast
+    fixture yields 0-1 cellpose objects, which would make the chunked-mesh
+    identity gate below trivially pass on empty tables): per position, one
+    rendered cell field reused across tps with per-tp noise — a still movie,
+    so stitch tracking has real work at every boundary."""
+    import numpy as np
+
+    from aliby_tpu.test_data import _write_tiff, render_cells
+
+    rng = np.random.default_rng(3)
+    for p in range(n_pos):
+        cells, nuclei, _ = render_cells(size, 10, rng)
+        for t in range(ntps):
+            for c, frame in enumerate((nuclei, cells)):
+                img = frame + rng.normal(0.02, 0.01, frame.shape)
+                img = np.clip(img * 12000.0, 0, 65535).astype(np.uint16)
+                _write_tiff(root / f"plate__A{p + 1:02d}__1__t{t}__c{c}.tif", img)
+    return r".*__(A[0-9]{2})__([0-9])__t([0-9])__c([0-9])\.tif"
+
+
+def test_run_positions_mesh_chunked_tracked(tmp_path, data_dir):
+    """T-chunked mesh dispatch (one fused program per chunk x positions,
+    stitch tracking as one stitch_movie scan per position) is bit-identical
+    to the per-tp mesh path — at ntps=4 / chunk=3 the second chunk is a
+    ragged 1-tp tail (padded dispatch, discarded rows) and the tracker
+    state carries across the chunk boundary."""
+    import numpy as np
+
+    from aliby_tpu.io.dataset import DatasetDir
+    from aliby_tpu.parallel.mesh import make_mesh
+    from aliby_tpu.parallel.pipeline_mesh import run_positions_mesh
+
+    plate = tmp_path / "plate"
+    plate.mkdir()
+    ntps = 4
+    regex = _dense_movie_plate(plate, n_pos=2, ntps=ntps)
+    positions = DatasetDir(plate, regex=regex, capture_order="WFTC").get_position_ids()
+    assert len(positions) == 2
+
+    outs = {}
+    for label, ch in (("pertp", 1), ("chunked", 3)):
+        out = tmp_path / label
+        run_positions_mesh(
+            _tracked_mesh_pipeline(ntps), positions, out, regex=regex,
+            capture_order="WFTC", mesh=make_mesh(8), overwrite=True, chunk=ch,
+        )
+        outs[label] = out
+    for key in [p["key"] for p in positions]:
+        a = pq.read_table(outs["pertp"] / "profiles" / f"{key}.parquet")
+        b = pq.read_table(outs["chunked"] / "profiles" / f"{key}.parquet")
+        # the gate must not be trivially-empty: every tp segmented something
+        tps = sorted(set(a.column("metadata_tp").to_pylist()))
+        assert tps == list(range(ntps)), tps
+        assert a.num_rows >= 4 * ntps, a.num_rows
+        _assert_tables_equal(a, b)
+        # tracker saves (stitched global labels + running max per tp) must
+        # match exactly — profiles alone would not gate the tracker
+        max_seen = 0
+        for tp in range(ntps):
+            pa_ = outs["pertp"] / "steps" / key / "track" / f"{tp:04d}.npz"
+            pb_ = outs["chunked"] / "steps" / key / "track" / f"{tp:04d}.npz"
+            assert pa_.exists() and pb_.exists()
+            with np.load(pa_) as za, np.load(pb_) as zb:
+                assert sorted(za.keys()) == sorted(zb.keys())
+                for k in za.keys():
+                    assert (za[k] == zb[k]).all(), (key, tp, k)
+                max_seen = max(max_seen, int(za["labels"].max()))
+        assert max_seen >= 4  # tracking had real objects to stitch
