@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +208,30 @@ def match_template(img: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
     denom = jnp.sqrt(win_var * t_ss)
     # divide by a clamped denominator, then mask — no inf enters the graph
     return (num / jnp.maximum(denom, 1e-8)) * (denom > 1e-8)
+
+
+def phase_cross_correlation_host(
+    reference: np.ndarray, moving: np.ndarray
+) -> np.ndarray:
+    """Host (numpy) pixel-precision phase correlation, same semantics as
+    :func:`phase_cross_correlation` at ``upsample_factor=1``.
+
+    The drift tracker calls this once per (position, timepoint) on a single
+    frame pair — a few-ms FFT the host does for free, whereas a device
+    dispatch pays the tunnel's per-call latency AND queues behind any
+    in-flight fused chunk program (measured ~0.7 s blocked per call while
+    the mesh runner saturates the chip)."""
+    A = np.fft.rfft2(np.asarray(reference, np.float32))
+    B = np.fft.rfft2(np.asarray(moving, np.float32))
+    corr = np.fft.irfft2(A * np.conj(B), s=reference.shape)
+    idx = int(np.argmax(np.abs(corr)))
+    H, W = reference.shape
+    dy, dx = idx // W, idx % W
+    if dy > H // 2:
+        dy -= H
+    if dx > W // 2:
+        dx -= W
+    return np.array([dy, dx], np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("upsample_factor",))

@@ -2,8 +2,9 @@
 
 Reference surface mirrored (``tile/tiler.py``):
 
-- ``TilerParameters`` defaults tile_size=117, ref_channel=0, ref_z=0,
-  track_drift=True (``tiler.py:47-55``);
+- ``TilerParameters`` defaults tile_size=117, ref_channel=0, ref_z=0
+  (``tiler.py:47-55``); drift tracking defaults OFF like the reference's
+  effective gate (``calculate_drift``, ``tiler.py:426-438``);
 - ``dispatch_tiler("crop") -> CropTiler`` else ``Tiler``; returns a factory
   taking the image instance (``tiler.py:58-72``);
 - ``Tiler.run_tp`` on the first call detects traps when ``tile_size`` is
@@ -31,7 +32,7 @@ from collections import OrderedDict
 
 import numpy as np
 
-from aliby_tpu.ops.imageops import phase_cross_correlation
+from aliby_tpu.ops.imageops import phase_cross_correlation_host
 from aliby_tpu.tile.geometry import TileLocations
 from aliby_tpu.utils.abc import ParametersABC, StepABC
 
@@ -39,11 +40,17 @@ logger = logging.getLogger("aliby_tpu")
 
 
 class TilerParameters(ParametersABC):
+    # track_drift defaults OFF to match the reference's EFFECTIVE behavior:
+    # its TilerParameters declares track_drift=True (tiler.py:47-55) but the
+    # live gate is the `calculate_drift` attribute, which defaults False and
+    # is plumbed from nowhere (tiler.py:426-438) — by default the reference
+    # never computes drift. Setting track_drift=True here enables the real
+    # per-tp FFT drift tracking (a capability superset).
     _defaults = {
         "tile_size": 117,
         "ref_channel": 0,
         "ref_z": 0,
-        "track_drift": True,
+        "track_drift": False,
         "backup_tile_size": 64,
     }
 
@@ -188,10 +195,12 @@ class Tiler(StepABC):
     # -- drift --------------------------------------------------------------
 
     def find_drift(self, tp: int) -> np.ndarray:
+        # host FFT: one tiny frame pair per (position, tp) — dispatching it
+        # to the device would queue behind in-flight fused chunk programs
+        # and pay the tunnel round-trip (~0.7 s blocked per call measured)
         prev = self._ref_frame(tp - 1)
         cur = self._ref_frame(tp)
-        shift = np.asarray(phase_cross_correlation(prev, cur))
-        return shift
+        return phase_cross_correlation_host(prev, cur)
 
     # -- per-tp run ---------------------------------------------------------
 

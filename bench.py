@@ -146,8 +146,11 @@ def _bench_mesh_runner(build_workload, n_fovs, file=sys.stderr):
             for c in range(fov.shape[1]):
                 frame = fov[0, c, 0] + rng.normal(0.0, 0.005, fov.shape[-2:])
                 img = np.clip(frame * 12000.0, 0, 65535).astype(np.uint16)
-                _write_tiff(root / f"plate1__{well}__1__t{t}__c{c}.tif", img)
-    regex = r".*__(A[0-9]{2})__([0-9])__t([0-9])__c([0-9])\.tif"
+                _write_tiff(root / f"plate1__{well}__1__t{t:02d}__c{c}.tif", img)
+    # zero-padded t: captured dim values sort lexically, so t10 must not
+    # land between t1 and t2 (and a one-digit class would silently drop
+    # t10/t11 from the grid)
+    regex = r".*__(A[0-9]{2})__([0-9])__t([0-9]{2})__c([0-9])\.tif"
     # discover positions the way a user would: path = the file list, so
     # dispatch_image routes to ImageList (a bare dir dict routes to zarr)
     positions = DatasetDir(root, regex=regex, capture_order="WFTC").get_position_ids()

@@ -62,6 +62,9 @@ def test_phase_cross_correlation_recovers_shift():
     # convention: shift to register moving onto reference
     dy, dx = np.asarray(I.phase_cross_correlation(shifted, base))
     assert (round(float(dy)), round(float(dx))) == (5, -7)
+    # host (numpy) variant — the tiler's drift path — matches exactly
+    dyh, dxh = I.phase_cross_correlation_host(shifted, base)
+    assert (round(float(dyh)), round(float(dxh))) == (5, -7)
 
 
 def test_peak_local_max():
