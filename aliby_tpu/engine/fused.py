@@ -54,14 +54,17 @@ def compile_fused_step(
     max_labels: int = 256,
     out_labels_cap: int = 64,
 ):
-    """``out_labels_cap`` bounds the label axis of the feature READBACK
-    (compute always runs at ``max_labels``): the full-bank block is
-    ~(1000 names, F, 256) f32 ≈ 8 MB, ~100 ms at the tunnel's ~80 MB/s
-    D2H, yet typical fields carry a few dozen objects — the tail is NaN
-    padding. The step transfers ``feats[..., :cap]``; the runner checks
-    the realized max label on the (always full) labels readback and, on
-    overflow, rebuilds at full width and stays there (one extra compile
-    on pathological plates, never a wrong result)."""
+    """``out_labels_cap`` bounds the label axis of the feature TREES —
+    both their compute width and the readback: the one-hot tables / wide
+    segment reductions are linear in the label axis and the full-bank
+    readback block is ~(1000 names, F, 256) f32 ≈ 8 MB (~100 ms at the
+    tunnel's ~80 MB/s D2H), yet typical fields carry a few dozen objects.
+    Segmentation itself always labels at ``max_labels`` (so the realized
+    object count is faithful); the runner checks the realized max label
+    on the (always full) labels readback and, on overflow, rebuilds the
+    step at full width, reruns, and stays wide (one extra compile on
+    pathological plates, never a wrong result — a narrow pass is only
+    ever used when every label fits, where it is exact)."""
     if not (0 < max_labels <= 65535):
         # the widest readback dtype is uint16; labels above 65535 would wrap
         raise ValueError(f"max_labels must be in [1, 65535], got {max_labels}")
@@ -158,7 +161,15 @@ def compile_fused_step(
             imgs_cat = [
                 (jnp.concatenate([im] * k) if k > 1 else im) for im in imgs
             ]
-            names, arr = tree_collect(entries, labels_cat, imgs_cat, max_labels)
+            # feature trees run at the STICKY width ``cap``, not the full
+            # max_labels: the one-hot tables / wide segment reductions are
+            # linear in the label axis, and typical fields carry a few
+            # dozen objects against a 256-slot bound. When the realized
+            # lmax exceeds cap, collect() discards this pass and reruns at
+            # full width (the same rebuild that already guards the
+            # readback crop), so a narrow result is only ever USED when
+            # every label fits — where it is exact.
+            names, arr = tree_collect(entries, labels_cat, imgs_cat, cap)
             for j, (oi, ti) in enumerate(members):
                 all_feats[oi][ti] = arr[:, j * F : (j + 1) * F]
                 names_acc[oi][ti] = names
@@ -176,8 +187,8 @@ def compile_fused_step(
         labels_pack = labels_pack.astype(jnp.uint8 if u8 else jnp.uint16)
         feats_pack = jnp.concatenate(
             [a for per_obj in all_feats for a in per_obj], axis=0
-        )
-        return labels_pack, feats_pack[..., :cap], lmax
+        )  # already cap-wide: trees compute at the sticky width
+        return labels_pack, feats_pack, lmax
 
     cap0 = min(max(1, out_labels_cap), max_labels)
     state = {"cap": cap0, "u8": True, "step": _make_step(cap0, True)}
