@@ -13,7 +13,10 @@ TPU formulations of the remaining cp_measure core families (reference wiring
   centroid distance; one (pixels x n_moments) evaluation batched into
   segment sums.
 - radial_distribution: FracAtD / MeanFrac / RadialCV over 4 concentric
-  rings (normalized centroid distance) with 8 angular wedges for the CV.
+  rings of CellProfiler's EDT-normalized distance — center = each object's
+  most-interior pixel (per-object EDT argmax), pixel distance =
+  ``d_center / (d_center + d_edge + 0.001)`` — with 8 angular wedges about
+  that center for the CV (see ``radial_distribution``'s docstring).
 
 Feature names follow CellProfiler's glossary; cp_measure's exact key strings
 are not verifiable in this environment (no package) and are documented as

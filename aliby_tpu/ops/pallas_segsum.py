@@ -213,8 +213,13 @@ def _prep(values, bins, n_bins):
     if K8 != K:
         vals_t = jnp.pad(vals_t, ((0, 0), (0, K8 - K), (0, 0)))
     l_pad = _round_up(n_bins, 128)
-    # VMEM budget: onehot tile x l_pad f32 <= ~4.5 MB
-    tile = 2048 if l_pad <= 512 else 1024 if l_pad <= 1152 else 512
+    # Mosaic's layout for a 1-D s32 operand is T(1024): every block width
+    # must be a multiple of 1024 or the kernel fails layout verification
+    # on real TPU (a 512-wide block wants T(512), and pallas_calls sharing
+    # one flattened-bins buffer then disagree with the XLA-chosen layout —
+    # the round-4 `bench --dense` Mosaic crash). VMEM stays comfortable:
+    # the widest one-hot is (1024, 2176) bf16 = 4.5 MB of ~16 MB/core.
+    tile = 2048 if l_pad <= 512 else 1024
     pad = (-n) % tile
     flat_bins = bins.reshape(B, n).astype(jnp.int32)
     if pad:
@@ -319,7 +324,8 @@ def table_lookup_batched(table, bins, interpret: bool = False):
     l_pad = _round_up(L, 128)
     if l_pad != L:
         tab2 = jnp.pad(tab2, ((0, 0), (0, l_pad - L), (0, 0)))
-    tile = 2048 if l_pad <= 512 else 1024 if l_pad <= 1152 else 512
+    # tile must stay a multiple of 1024 (Mosaic 1-D s32 layout, see _prep)
+    tile = 2048 if l_pad <= 512 else 1024
     pad = (-n) % tile
     flat_bins = bins.reshape(B, n).astype(jnp.int32)
     if pad:
