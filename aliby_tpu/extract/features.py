@@ -477,23 +477,38 @@ def rwc(labels, im1, im2, max_labels, thr_frac: float = 0.15) -> dict:
     cnt = counts(labels, max_labels)
     present = cnt > 0
 
-    def ranks_of(img):
+    def ranks_of2(ima, imb):
+        # BOTH channels ride ONE lexicographic sort (and one scatter) by
+        # stacking them on a leading batch axis — lax.sort vectorizes over
+        # leading dims, and the ~15 ms fixed cost of a 1M-element sort on
+        # v5e dominates the per-element work, so this halves the stage's
+        # dominant term vs two single-channel calls.
         flat_l = labels.reshape(-1).astype(jnp.int32)
-        flat_v = img.reshape(-1)
-        ids = jnp.arange(flat_v.size, dtype=jnp.int32)
-        sl, svv, sid = jax.lax.sort((flat_l, flat_v, ids), num_keys=2)
+        N = flat_l.size
+        l2 = jnp.broadcast_to(flat_l, (2, N))
+        flat_v = jnp.stack([ima.reshape(-1), imb.reshape(-1)])
+        ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (2, N))
+        sl, svv, sid = jax.lax.sort((l2, flat_v, ids), num_keys=2)
         del svv
-        positions = jnp.arange(flat_v.size, dtype=jnp.float32)
-        rank_px = jnp.zeros(flat_v.size, jnp.float32).at[sid].set(positions)
-        n_bg = flat_v.size - cnt.sum()
+        positions = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.float32), (2, N)
+        )
+        rank_px = (
+            jnp.zeros((2, N), jnp.float32)
+            .at[jnp.arange(2)[:, None], sid]
+            .set(positions)
+        )
+        n_bg = N - cnt.sum()
         starts = n_bg + jnp.concatenate([jnp.zeros(1), jnp.cumsum(cnt)[:-1]])
         start_px = table_lookup(
             starts[:, None], jnp.clip(flat_l - 1, 0, max_labels - 1)
         )[..., 0]
-        return (rank_px - start_px).reshape(labels.shape)
+        return (
+            (rank_px[0] - start_px).reshape(labels.shape),
+            (rank_px[1] - start_px).reshape(labels.shape),
+        )
 
-    r1 = ranks_of(im1)
-    r2 = ranks_of(im2)
+    r1, r2 = ranks_of2(im1, im2)
     _, seg_mx = seg_minmax_cols(
         jnp.stack([im1, im2], axis=-1), labels, max_labels
     )

@@ -363,8 +363,13 @@ def follow_flows(
     - The successor of each grid pixel is one rounded unit step — always
       within its own 3x3 neighborhood — so ``succ^N`` is N rounds of
       neighbor shift-select key propagation, not N (or log N) gathers.
-    Only 3 real gathers remain (composed key at the rounded Euler endpoint
-    + 2 cycle-collapse lookups): 72 ms/16 images, masks identical.
+    - The remaining three gathers (composed key at the rounded Euler
+      endpoint + 2 cycle-collapse lookups, ~13 ms each on v5e) are gone
+      too: sink cycles (period <= 3) are detected by stencil composition
+      of the offset field and canonicalized in the key INIT (key
+      propagation computes ``key_0[succ^N(p)]``), and the Euler endpoint
+      at ``n_iter <= 2`` lies within +-n_iter px, so its key read is a
+      shift-select. The default path now issues ZERO pixel-space gathers.
 
     Both ``n_iter`` and ``n_prop`` are static (jit static_argnames; the
     residue unroll below needs a concrete Python int) — callers threading a
@@ -455,38 +460,98 @@ def follow_flows(
         sy = yi + dy1
         sx = xi + dx1
         dcode = (dy1 + 1) * 3 + (dx1 + 1)
-        key = yi * W + xi
+
+        # The rounded successor map converges to short cycles around each
+        # sink (typically 2-cycles straddling the center); pixels land on
+        # one cycle element by path parity, which would split a small
+        # object's sink histogram across bins and can starve the h>10 seed
+        # rule. Canonicalize cycles UP FRONT in the key INIT — key
+        # propagation computes key_n[p] = key_0[succ^n(p)], so seeding
+        # key_0[q] = (cycle-min of q's cycle, for q on a period-<=3 cycle)
+        # makes every basin pixel land on ONE bin with ZERO post-hoc
+        # gathers. The old formulation collapsed after the fact with
+        # min(final, succ[final], succ[succ[final]]) — two 1M-element
+        # gathers at ~13 ms each on v5e; the cycle test is pure stencil
+        # algebra on the offset field (succ^2/succ^3 offsets compose by
+        # shift-selects, ~0.3 ms) and is EXACTLY equivalent for cycle
+        # periods 1-3 (the min runs over the same cycle-element set).
+        def _sel3(field_y, field_x, oy, ox):
+            # (field_y, field_x) sampled at p + (oy, ox), oy/ox in [-r, r]
+            r = 1
+            py_ = jnp.pad(field_y, r, constant_values=0)
+            px_ = jnp.pad(field_x, r, constant_values=0)
+            out_y = jnp.zeros_like(field_y)
+            out_x = jnp.zeros_like(field_x)
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    sel = (oy == dy) & (ox == dx)
+                    out_y = jnp.where(
+                        sel, py_[r + dy : H + r + dy, r + dx : W + r + dx], out_y
+                    )
+                    out_x = jnp.where(
+                        sel, px_[r + dy : H + r + dy, r + dx : W + r + dx], out_x
+                    )
+            return out_y, out_x
+
+        def _sel_wide(field, oy, ox, r):
+            fp = jnp.pad(field, r, constant_values=0)
+            out = jnp.zeros_like(field)
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    sel = (oy == dy) & (ox == dx)
+                    out = jnp.where(
+                        sel, fp[r + dy : H + r + dy, r + dx : W + r + dx], out
+                    )
+            return out
+
+        # offset composition: o2 = o1 + o1(p + o1); o3 = o2 + o1(p + o2)
+        s1y, s1x = _sel3(dy1, dx1, dy1, dx1)
+        o2y, o2x = dy1 + s1y, dx1 + s1x  # in [-2, 2]
+        s2y = _sel_wide(dy1, o2y, o2x, 2)
+        s2x = _sel_wide(dx1, o2y, o2x, 2)
+        o3y, o3x = o2y + s2y, o2x + s2x  # in [-3, 3]
+        idx0 = yi * W + xi
+        id1 = (yi + dy1) * W + (xi + dx1)
+        id2 = (yi + o2y) * W + (xi + o2x)
+        on1 = (dy1 == 0) & (dx1 == 0)
+        on2 = (o2y == 0) & (o2x == 0) & ~on1
+        on3 = (o3y == 0) & (o3x == 0) & ~on1 & ~on2
+        canon = jnp.where(on2, jnp.minimum(idx0, id1), idx0)
+        canon = jnp.where(
+            on3, jnp.minimum(idx0, jnp.minimum(id1, id2)), canon
+        )
 
         # (A half-rounds + one squaring gather variant — succ^2k[p] ==
         # succ^k[succ^k[p]] — was measured SLOWER: the 1M-element gather
         # costs ~25 ms/16 images while 48 stencil rounds cost ~12 ms.)
-        # Early exit, bit-identical: key_t[p] = succ^t(p), so if a block of
-        # B rounds leaves the key unchanged (key_{t+B} == key_t pointwise)
-        # then key_{t+kB} == key_t for all k — and n_prop is a multiple of
-        # B, so stopping returns EXACTLY key_{n_prop}. Pixels converge to
-        # their sink cycle in ~(basin radius) rounds, after which periods
-        # are 1-2 (divide 6); typical fields stop after a third of the
-        # budget. Residue rounds keep the multiple-of-B invariant exact.
-        # Under vmap on TPU the rounds run inside ONE VMEM-resident Pallas
-        # kernel (ops.pallas_stencil.successor_prop) instead of
-        # round-tripping HBM per round; unbatched/CPU keeps the XLA loop.
-        key = _propagate_keys(n_prop, 6)(dcode, key)
-        kf = key.reshape(-1)
-        succ = (sy * W + sx).reshape(-1)
-        start = (
-            jnp.clip(jnp.round(py), 0, H - 1) * W
-            + jnp.clip(jnp.round(px), 0, W - 1)
-        ).astype(jnp.int32).reshape(-1)
-        final = kf[start]
-        # The rounded successor map converges to short cycles around each
-        # sink (typically 2-cycles straddling the center); pixels land on
-        # either cycle element by path parity, which would split a small
-        # object's sink histogram across bins and can starve the h>10 seed
-        # rule. Collapse each cycle to its minimum bin so all basin pixels
-        # agree on ONE sink bin.
-        final = jnp.minimum(final, jnp.minimum(succ[final], succ[succ[final]]))
-        py = (final // W).astype(jnp.float32).reshape(H, W)
-        px = (final % W).astype(jnp.float32).reshape(H, W)
+        # Early exit, bit-identical: key_t[p] = key_0[succ^t(p)], so if a
+        # block of B rounds leaves the key unchanged (key_{t+B} == key_t
+        # pointwise) then key_{t+kB} == key_t for all k — and n_prop is a
+        # multiple of B, so stopping returns EXACTLY key_{n_prop}. Pixels
+        # converge to their sink cycle in ~(basin radius) rounds, after
+        # which periods are 1-2 (divide 6); typical fields stop after a
+        # third of the budget. Residue rounds keep the multiple-of-B
+        # invariant exact. Under vmap on TPU the rounds run inside ONE
+        # VMEM-resident Pallas kernel (ops.pallas_stencil.successor_prop)
+        # instead of round-tripping HBM per round; unbatched/CPU keeps the
+        # XLA loop.
+        key = _propagate_keys(n_prop, 6)(dcode, canon)
+        ry = jnp.clip(jnp.round(py), 0, H - 1).astype(jnp.int32)
+        rx = jnp.clip(jnp.round(px), 0, W - 1).astype(jnp.int32)
+        if n_iter <= 2:
+            # the Euler endpoint lies within +-n_iter px of the origin
+            # (unit-magnitude flows), so reading key there is a stencil
+            # select, not a 1M-element gather (~13 ms saved on v5e)
+            final = _sel_wide(
+                key,
+                jnp.clip(ry - yi, -n_iter, n_iter),
+                jnp.clip(rx - xi, -n_iter, n_iter),
+                max(n_iter, 1),
+            )
+        else:  # ported-torch schedule: endpoints drift beyond any stencil
+            final = key.reshape(-1)[(ry * W + rx).reshape(-1)].reshape(H, W)
+        py = (final // W).astype(jnp.float32)
+        px = (final % W).astype(jnp.float32)
 
     py = jnp.where(fg, py, yy)
     px = jnp.where(fg, px, xx)
@@ -527,10 +592,17 @@ def masks_from_sinks(
 
     TPU formulation: the per-seed Python expansion becomes 5 rounds of
     frozen-read neighborhood min-propagation of a lexicographic
-    (count, bin-index) key over the count>2 corridor — no sorts, no
+    (count, seed-rank) key over the count>2 corridor — no sorts, no
     gathers, no CC sweep (gated against the NumPy oracle by
     ``tests/test_dynamics_parity.py``). Min-size removal and hole filling
     live in :func:`masks_from_flows` (upstream applies them after flow QC).
+
+    With ``drop_megamasks=False`` (the fused path) the returned ids are
+    dense seed ranks in raster order — the same ascending order a
+    sequential relabel would produce, but possibly with gaps (a grown seed
+    region that captured no foreground sink); ``masks_from_flows``'s final
+    compaction closes them. ``drop_megamasks=True`` (standalone) returns
+    strictly sequential labels as before.
     """
     H, W = fg.shape
     HW = H * W
@@ -557,12 +629,17 @@ def masks_from_sinks(
         )
     seeds = (hist >= hmax) & (hist > 10)
 
-    idx2d = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W + (
-        jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    )
+    # Tie-break payload: the 1-based seed RANK (cumsum over the seed map in
+    # raster order) instead of the raw bin index. Rank is strictly monotone
+    # in bin index across seeds, so every lexicographic (count, payload)
+    # comparison below resolves identically — but the winning payload is
+    # ALREADY a dense label id, which deletes the trailing
+    # relabel_dense(HW-space) pass (presence scatter + HW gather,
+    # ~15-20 ms/16 images on v5e) from the fused path outright.
+    rank2d = jnp.cumsum(seeds.reshape(-1).astype(jnp.int32)).reshape(H, W)
     corridor = hist > 2
     key_h = jnp.where(seeds, hist, _BIG_I32)
-    key_i = jnp.where(seeds, idx2d, _BIG_I32)
+    key_i = jnp.where(seeds, rank2d, _BIG_I32)
 
     def _lexmin3(kh, ki, axis_pairs):
         # lexicographic min over {self, two shifted neighbors} per channel
@@ -585,17 +662,22 @@ def masks_from_sinks(
         key_h = jnp.where(corridor, nh, _BIG_I32)
         key_i = jnp.where(corridor, ni, _BIG_I32)
 
-    owner = jnp.where(key_i < _BIG_I32, key_i + 1, 0).reshape(-1)  # [0, HW]
-    raw = jnp.where(fgf, owner[sink], 0).reshape(H, W)
+    owner = jnp.where(key_i < _BIG_I32, key_i, 0).reshape(-1)  # [0, n_seeds]
+    raw = jnp.where(fgf, owner[sink], 0)
+    # seed ranks beyond the label budget drop to 0 (never alias)
+    raw = jnp.where(raw <= max_labels, raw, 0).reshape(H, W)
     if drop_megamasks:
-        # standalone use keeps the upstream >40%-of-image drop here; the
-        # fused path (masks_from_flows) defers it to its per-label count
-        # pass — same final labels, two fewer HW-element scatter/gathers
+        # standalone use keeps the upstream >40%-of-image drop here plus a
+        # sequential compaction (rank gaps appear when a grown seed region
+        # captures no foreground sink); the fused path (masks_from_flows)
+        # folds both into its per-label count pass — same final labels,
+        # several fewer HW-element scatter/gathers
         rawf = raw.reshape(-1)
-        areas = jnp.zeros(HW + 1, jnp.float32).at[rawf].add(1.0)
+        areas = jnp.zeros(max_labels + 1, jnp.float32).at[rawf].add(1.0)
         keep_px = (areas[rawf] <= 0.4 * HW) & (rawf > 0)
         raw = jnp.where(keep_px, rawf, 0).reshape(H, W)
-    return relabel_dense(raw, H * W + 1, max_labels)
+        return relabel_dense(raw, max_labels + 1, max_labels)
+    return raw
 
 
 @jax.jit
