@@ -438,6 +438,70 @@ def topk_mean_from_sorted(sorted_v, starts, cnt, frac: float):
     return jnp.where(cnt > 0, top_sum / jnp.maximum(k, 1), jnp.nan)
 
 
+def mad_from_sorted(sorted_v, starts, cnt, median):
+    """Median absolute deviation per label, straight from the VALUE sort.
+
+    Exactly ``quantile(sorted(|v - median|), 0.5)`` without the second
+    65k-pixel lexicographic sort it used to take (~15 ms/16 images on
+    v5e): within a label's ascending run, |v - m| is the merge of two
+    ascending sequences — (m - v) over the values <= m read right-to-left,
+    and (v - m) over the values > m — so the needed order statistics come
+    from the classic two-sorted-arrays k-th-element binary search. All
+    probes are single-element reads per label (max_labels-sized gathers),
+    device-time noise next to a full-image sort. Float-exact vs the
+    sort-based formulation: |v - m| and the branch-selected differences
+    are the same IEEE values, and selection only reorders equal keys.
+    """
+    n = cnt.astype(jnp.int32)
+    m = jnp.nan_to_num(median)
+    starts = starts.astype(jnp.int32)
+    size = sorted_v.size
+
+    # nl = #values <= m per run (binary search; 2^17 > 65536 pixels)
+    lo = jnp.zeros_like(n)
+    hi = n
+    for _ in range(17):
+        mid = (lo + hi) // 2
+        v = sorted_v[jnp.clip(starts + mid, 0, size - 1)]
+        go_right = (mid < n) & (v <= m)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    nl = lo
+    nr = n - nl
+
+    def left(i):  # ascending: m - sorted_v[starts + nl - 1 - i]
+        v = sorted_v[jnp.clip(starts + nl - 1 - i, 0, size - 1)]
+        return jnp.where((i >= 0) & (i < nl), m - v, jnp.inf)
+
+    def right(j):  # ascending: sorted_v[starts + nl + j] - m
+        v = sorted_v[jnp.clip(starts + nl + j, 0, size - 1)]
+        return jnp.where((j >= 0) & (j < nr), v - m, jnp.inf)
+
+    def kth(k):  # 0-indexed k-th smallest of the merged sequences
+        # i = #elements taken from `left`; Q(i) = L[i-1] <= R[k+1-i] is
+        # monotone (true -> false) in i, so bisect for the largest true i.
+        # bracket [lo, hi]; Q(lo) holds by construction (L[lo-1] <= +inf)
+        lo = jnp.maximum(k + 1 - nr, 0)
+        hi = jnp.minimum(k + 1, nl)
+        for _ in range(18):
+            mid = (lo + hi + 1) // 2
+            q = jnp.where(mid > 0, left(mid - 1), -jnp.inf) <= right(k + 1 - mid)
+            lo = jnp.where(q, mid, lo)
+            hi = jnp.where(q, hi, mid - 1)
+        i = lo
+        lv = jnp.where(i > 0, left(i - 1), -jnp.inf)
+        rv = jnp.where(k - i >= 0, right(k - i), -jnp.inf)
+        return jnp.maximum(lv, rv)
+
+    pos = 0.5 * jnp.maximum(cnt - 1.0, 0.0)
+    k_lo = jnp.floor(pos).astype(jnp.int32)
+    k_hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - k_lo
+    v_lo = kth(k_lo)
+    v_hi = jnp.where(k_hi == k_lo, v_lo, kth(k_hi))
+    return jnp.where(cnt > 0, v_lo * (1 - frac) + v_hi * frac, jnp.nan)
+
+
 def topk_median_from_sorted(sorted_v, starts, cnt, k: int):
     """Median of each label's top-k values (reference ``max5px_median``)."""
     kk = jnp.minimum(float(k), cnt)

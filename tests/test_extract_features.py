@@ -327,3 +327,38 @@ def test_radial_distribution_large_image_path():
     assert small.keys() == big.keys()
     for k in small:
         np.testing.assert_allclose(big[k], small[k], rtol=1e-5, err_msg=k)
+
+
+def test_mad_from_sorted_matches_residual_sort_oracle():
+    """The sort-free MAD selection (two-sorted-halves k-th element from the
+    VALUE sort) must match median(|v - median|) computed the direct way —
+    including empty labels (NaN), singletons (0), and even/odd run lengths."""
+    import jax.numpy as jnp
+
+    from aliby_tpu.extract.reductions import (
+        mad_from_sorted,
+        quantile_from_sorted,
+        sorted_by_label,
+    )
+
+    rng = np.random.default_rng(11)
+    L = 24
+    for trial in range(12):
+        labels = rng.integers(0, L + 1, (48, 48)).astype(np.int32)
+        # force edge cases: an absent label, a singleton label
+        labels[labels == 5] = 0
+        labels[labels == 7] = 0
+        labels[0, 0] = 7
+        img = rng.normal(size=(48, 48)).astype(np.float32)
+        sv, starts, cnt = sorted_by_label(jnp.asarray(img), jnp.asarray(labels), L)
+        med = quantile_from_sorted(sv, starts, cnt, 0.5)
+        got = np.asarray(mad_from_sorted(sv, starts, cnt, med))
+        for k in range(1, L + 1):
+            v = img[labels == k]
+            if v.size == 0:
+                assert np.isnan(got[k - 1]), (trial, k)
+                continue
+            m = np.quantile(v, 0.5).astype(np.float32)
+            ref = np.quantile(np.abs(v - m), 0.5)
+            np.testing.assert_allclose(got[k - 1], ref, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"trial {trial} label {k}")
