@@ -116,8 +116,14 @@ def _make_threshold_segmenter(channel_to_segment: int = 0, **kwargs):
 
 
 def _normalize_percentile(img: jnp.ndarray) -> jnp.ndarray:
-    lo = jnp.percentile(img, 1.0)
-    hi = jnp.percentile(img, 99.0)
+    # float-exact vs jnp.percentile(img, 1/99) but sort-free: the batched
+    # 65k-element lax.sort per (image, channel) cost 32 ms per fused
+    # 16-image batch on v5e; bit-bisection selection runs in ~1 ms
+    # (ops.imageops.order_statistics; exactness pinned by
+    # tests/test_ops_imageops.py::test_order_statistics_exact_vs_sort)
+    from aliby_tpu.ops.imageops import percentile_pair
+
+    lo, hi = percentile_pair(img, 1.0, 99.0)
     return (img - lo) / jnp.maximum(hi - lo, 1e-6)
 
 

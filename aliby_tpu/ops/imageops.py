@@ -308,3 +308,86 @@ def downscale_mean(img: jnp.ndarray, factor: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("out_shape",))
 def resize_bilinear(img: jnp.ndarray, out_shape: tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(img.astype(jnp.float32), out_shape, method="bilinear")
+
+
+# ---------------------------------------------------------------------------
+# Sort-free exact order statistics (selection)
+# ---------------------------------------------------------------------------
+
+
+def _monotone_key_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """float32 -> uint32 key with the same total order lax.sort uses on
+    NaN-free data (IEEE-754 sign-magnitude flip; -0.0 keys below +0.0 —
+    numerically equal, so selected VALUES are unaffected)."""
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    return jnp.where(u >> 31 == 1, ~u, u | jnp.uint32(0x80000000))
+
+
+def _key_to_f32(k: jnp.ndarray) -> jnp.ndarray:
+    u = jnp.where(
+        k >= jnp.uint32(0x80000000), k ^ jnp.uint32(0x80000000), ~k
+    )
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("ranks",))
+def order_statistics(x: jnp.ndarray, ranks: tuple[int, ...]) -> jnp.ndarray:
+    """Exact 0-indexed order statistics of a float32 array WITHOUT a sort.
+
+    ``lax.sort`` costs ~15 ms per 1M elements on v5e and the percentile
+    normalization in front of every segmentation forward paid it per
+    (image, channel) — 32 ms per fused 16-image batch, competing with the
+    convs for the vector unit. Selection instead bisects the monotone
+    uint32 encoding of IEEE-754 floats: 32 rounds, each ONE fused
+    compare+count pass over the data for all requested ranks at once
+    (the smallest key whose rank-(r+1) count is reached is itself an
+    element, so the result is an exact array element, bit-identical to
+    ``sorted(x)[r]`` for NaN-free input). ~1 ms for 32x65k on v5e.
+    """
+    keys = _monotone_key_u32(x.reshape(-1))
+    r1 = jnp.asarray(ranks, jnp.uint32) + 1  # count threshold per rank
+    lo = jnp.zeros((len(ranks),), jnp.uint32)
+    hi = jnp.full((len(ranks),), 0xFFFFFFFF, jnp.uint32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        # one full-lane-width reduction per rank (static unroll) — a
+        # broadcast (N, R) compare would put R=4 on the 128-lane axis and
+        # run ~30x under-utilized
+        cnt = jnp.stack(
+            [
+                (keys <= mid[j]).sum(dtype=jnp.uint32)
+                for j in range(len(ranks))
+            ]
+        )
+        take = cnt >= r1
+        return jnp.where(take, lo, mid + 1), jnp.where(take, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return _key_to_f32(lo)
+
+
+def percentile_pair(img: jnp.ndarray, q_lo: float, q_hi: float):
+    """(lo, hi) linear-interpolated percentiles of ``img``, sort-free.
+
+    Order statistics are bit-exact vs a sort (:func:`order_statistics`);
+    the interpolation follows NUMPY's convention — float64 index
+    arithmetic ``q/100*(n-1)`` (upstream cellpose normalizes with
+    ``np.percentile``), lerp ``a + (b-a)*t`` in f32. ``jnp.percentile``
+    is NOT the spec on purpose: XLA's f32 divide is not correctly
+    rounded, so its q=0.99 differs from numpy's per backend (~1e-7
+    relative — irrelevant downstream, but not reproducible). NaN inputs
+    select as if NaN were +huge (numpy would propagate NaN) — callers
+    feed images, which are NaN-free."""
+    n = int(np.prod(img.shape))
+    idx = [float(q) / 100.0 * (n - 1) for q in (q_lo, q_hi)]
+    lo_r = [int(np.floor(i)) for i in idx]
+    hi_r = [int(np.ceil(i)) for i in idx]
+    t = [np.float32(i - np.floor(i)) for i in idx]
+    vals = order_statistics(
+        img.reshape(-1), (lo_r[0], hi_r[0], lo_r[1], hi_r[1])
+    )
+    out_lo = vals[0] + (vals[1] - vals[0]) * t[0]
+    out_hi = vals[2] + (vals[3] - vals[2]) * t[1]
+    return out_lo, out_hi

@@ -85,3 +85,36 @@ def test_entropy_filter_flat_vs_textured():
     ent = np.asarray(I.entropy_filter(img, radius=4))
     assert ent[:, :12].mean() < 0.5
     assert ent[:, 28:].mean() > 2.0
+
+
+def test_order_statistics_exact_vs_sort():
+    # bit-exact selection: ranks, duplicates, constants, denormals, negatives
+    rng = np.random.default_rng(11)
+    cases = []
+    for n in (5, 64, 65, 1000, 4096):
+        cases.append(rng.normal(0, 1, n).astype(np.float32))
+        cases.append(rng.integers(-4, 4, n).astype(np.float32))  # duplicates
+        cases.append(np.full(n, rng.normal(), np.float32))
+        cases.append(rng.normal(0, 1e-38, n).astype(np.float32))  # subnormals
+    for x in cases:
+        n = x.size
+        ranks = tuple(sorted({0, n - 1, n // 2, int(rng.integers(0, n))}))
+        got = np.asarray(I.order_statistics(x, ranks))
+        want = np.sort(x)[list(ranks)]
+        assert np.array_equal(got, want), (n, ranks)
+
+
+def test_percentile_pair_matches_numpy():
+    # the normalization spec is NUMPY's linear percentile (what upstream
+    # cellpose calls); order statistics are exact, the lerp agrees to f32
+    # rounding (numpy interpolates the fraction in f64)
+    rng = np.random.default_rng(12)
+    for n in (100, 4096, 65536):
+        for x in (
+            rng.normal(0, 1, n).astype(np.float32),
+            rng.integers(0, 7, n).astype(np.float32),
+        ):
+            lo, hi = I.percentile_pair(x.reshape(-1), 1.0, 99.0)
+            want_lo, want_hi = np.percentile(x, [1.0, 99.0])
+            np.testing.assert_allclose(float(lo), want_lo, rtol=1e-6)
+            np.testing.assert_allclose(float(hi), want_hi, rtol=1e-6)
