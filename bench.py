@@ -368,6 +368,12 @@ def main():
         print(f"# {k:45s} {v * 1000:8.1f} ms ({n_fovs / v:7.2f} fov/s)", file=sys.stderr)
 
     # ---- MFU estimate -------------------------------------------------------
+    # DEVICE-time MFU of the U-Net forward alone: k dispatches in flight,
+    # one 4-byte sync at the end. Timing a single synced call instead puts
+    # the tunnel's ~28 ms post-D2H dispatch floor in the denominator and
+    # understates the device by 2-4x (r4 reported 1.8% this way; the same
+    # forward measured 23.9 ms device time = pipelined — see BENCH_NOTES
+    # "Round 5: results" for the probe).
     try:
         lowered = jax.jit(
             lambda p, x: engine.model.apply(p, x)
@@ -375,12 +381,31 @@ def main():
         cost = lowered.compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost.get("flops", 0.0))
-        t_fwd = stage["segment (fwd+flows+labels) x1 object"]
-        peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
+
+        fwd_sum = jax.jit(
+            lambda p, x: jnp.sum(engine.model.apply(p, x).astype(jnp.float32))
+        )
+        x8 = jnp.asarray(np.zeros((8, 256, 256, 2), np.float32))
+        float(fwd_sum(engine.params, x8))  # warm
+        k = 8
+        t_fwd = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(k):
+                r = fwd_sum(engine.params, x8)
+            float(r)
+            t_fwd = min(t_fwd, (time.perf_counter() - t0) / k)
+        peak = next((v for k_, v in PEAK_FLOPS.items() if k_ in kind), None)
         mfu = flops / t_fwd / peak if peak else None
         print(
-            f"# unet fwd flops={flops:.3e} ({flops / t_fwd:.3e} flop/s"
-            + (f", MFU~{mfu * 100:.1f}% of bf16 peak; fwd share only" if mfu else "")
+            f"# unet fwd flops={flops:.3e}, {t_fwd * 1e3:.1f} ms device"
+            f" ({flops / t_fwd:.3e} flop/s"
+            + (
+                f", MFU~{mfu * 100:.1f}% of bf16 peak; fwd share, pipelined"
+                if mfu
+                else ""
+            )
             + ")",
             file=sys.stderr,
         )
